@@ -1,0 +1,242 @@
+"""CLIP-ViT vision encoder, functional and gated.
+
+One implementation replaces both reference towers (models/clip_vit.py dense
+teacher and efficient_models/eff_vit.py gated student): gates are arguments
+and `None` compiles to the dense program.
+
+Structure (reference models/clip_vit.py:337-393):
+  conv patch-embed (no bias) -> [CLS] + learned pos-embed -> pre-LN ->
+  N pre-LN transformer layers (quick_gelu MLP) -> post-LN over the full
+  sequence.
+
+Region batches: the last `local_attn_depth` layers optionally run "local"
+attention where grouped per-region rows (gathered via idx_to_group_img) are
+stacked on top of the full-attention batch and masked to their patch boxes
+(reference clip_vit.py:291-326).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisionConfig
+from ..ops.attention import init_attention, make_attention_bias, multi_head_attention
+from ..ops.basic import ACT2FN, dense, dropout, init_dense, init_layer_norm, layer_norm
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_vit(key: Array, cfg: VisionConfig) -> dict:
+    d = cfg["vision_width"]
+    p = cfg["patch_size"]
+    n_pos = cfg.num_patches + 1
+    keys = jax.random.split(key, cfg["num_hidden_layers"] + 3)
+
+    params = {
+        "patch_embed": {  # conv kernel stored HWIO; no bias (clip_vit.py:345-347)
+            "kernel": jax.random.normal(keys[0], (p, p, 3, d)) * 0.02,
+        },
+        "class_embedding": jax.random.normal(keys[1], (d,)) * 0.02,
+        "pos_embed": {"embedding": jax.random.normal(keys[2], (n_pos, d)) * 0.02},
+        "pre_ln": init_layer_norm(d),
+        "post_ln": init_layer_norm(d),
+        "layers": [],
+    }
+    for i in range(cfg["num_hidden_layers"]):
+        lk = jax.random.split(keys[3 + i], 3)
+        params["layers"].append(
+            {
+                "ln1": init_layer_norm(d),
+                "attn": init_attention(lk[0], d, cfg["num_attention_heads"]),
+                "ln2": init_layer_norm(d),
+                "mlp": {
+                    "fc1": init_dense(lk[1], d, cfg["intermediate_size"]),
+                    "fc2": init_dense(lk[2], cfg["intermediate_size"], d),
+                },
+            }
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _num_heads(layer_params: dict, head_dim: int) -> int:
+    return layer_params["attn"]["q"]["kernel"].shape[1] // head_dim
+
+
+def vit_layer(
+    lp: dict,
+    h: Array,
+    *,
+    num_heads: int,
+    act,
+    bias: Optional[Array] = None,
+    head_z: Optional[Array] = None,
+    head_layer_z: Optional[Array] = None,
+    mlp_z: Optional[Array] = None,
+    output_probs: bool = False,
+    dropout_rate: float = 0.0,
+    rng: Optional[Array] = None,
+    train: bool = False,
+    dtype=None,
+    impl: str = "xla",
+):
+    residual = h
+    x = layer_norm(lp["ln1"], h, eps=1e-5)
+    attn_out, probs, _ = multi_head_attention(
+        lp["attn"],
+        x,
+        num_heads=num_heads,
+        bias=bias,
+        head_z=head_z,
+        head_layer_z=head_layer_z,
+        output_probs=output_probs,
+        dropout_rate=dropout_rate,
+        rng=rng,
+        train=train,
+        dtype=dtype,
+        impl=impl,
+    )
+    h = residual + attn_out
+
+    residual = h
+    x = layer_norm(lp["ln2"], h, eps=1e-5)
+    x = act(dense(lp["mlp"]["fc1"], x, dtype=dtype))
+    if mlp_z is not None:  # mask FFN intermediate dims (eff_vit.py:216-217)
+        x = x * mlp_z.astype(x.dtype)
+    x = dense(lp["mlp"]["fc2"], x, dtype=dtype)
+    return residual + x, probs
+
+
+def vit_apply(
+    params: dict,
+    images: Array,
+    cfg: VisionConfig,
+    *,
+    idx_to_group_img: Optional[Array] = None,
+    image_atts: Optional[Array] = None,
+    head_z: Optional[Array] = None,
+    head_layer_z: Optional[Array] = None,
+    mlp_z: Optional[Array] = None,
+    output_attentions: bool = False,
+    output_hidden_states: bool = False,
+    train: bool = False,
+    rng: Optional[Array] = None,
+    dtype=None,
+    impl: str = "xla",
+):
+    """Forward the vision tower.
+
+    images: [B, H, W, 3] (NHWC — TPU-native conv layout; the torch reference
+    uses NCHW, transposed at the data layer).
+    head_z/mlp_z: [L, num_heads] / [L, intermediate] stacked per-layer gates
+    (or per-layer list; None = dense).
+    Returns dict(last_hidden, hidden_states, attentions, full_atts_hidden).
+    """
+    act = ACT2FN[cfg["hidden_act"]]
+    depth = cfg["num_hidden_layers"]
+    local_attn_depth = cfg.get("local_attn_depth", 0)
+    head_dim = cfg["vision_width"] // cfg["num_attention_heads"]
+
+    patches = jax.lax.conv_general_dilated(
+        images.astype(dtype) if dtype is not None else images,
+        params["patch_embed"]["kernel"].astype(dtype) if dtype is not None else params["patch_embed"]["kernel"],
+        window_strides=(cfg["patch_size"], cfg["patch_size"]),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    b = patches.shape[0]
+    patches = patches.reshape(b, -1, cfg["vision_width"])
+    cls = jnp.broadcast_to(params["class_embedding"].astype(patches.dtype), (b, 1, cfg["vision_width"]))
+    h = jnp.concatenate([cls, patches], axis=1)
+    h = h + params["pos_embed"]["embedding"][None, : h.shape[1]].astype(h.dtype)
+    h = layer_norm(params["pre_ln"], h, eps=1e-5)
+
+    # Region local-attention bias (clip_vit.py:291-300): grouped rows get
+    # per-region patch masks; the original full-attention rows get all-ones.
+    local_bias = None
+    if idx_to_group_img is not None and image_atts is not None:
+        full_atts = jnp.ones((h.shape[0], h.shape[1]), jnp.float32)
+        atts_blk = jnp.concatenate([image_atts.astype(jnp.float32), full_atts], axis=0)
+        local_bias = make_attention_bias(atts_blk)
+
+    all_hidden = [] if output_hidden_states else None
+    all_probs = [] if output_attentions else None
+    do_gather = idx_to_group_img is not None
+
+    def layer_gate(z, i):
+        if z is None:
+            return None
+        return z[i]
+
+    for i in range(depth):
+        if output_hidden_states:
+            all_hidden.append(h)
+        is_local = local_attn_depth > 0 and i >= depth - local_attn_depth
+        bias_i = None
+        if is_local and do_gather:
+            # stack grouped per-region rows on top of full-attention batch
+            gathered = jnp.take(h, idx_to_group_img, axis=0)
+            h = jnp.concatenate([gathered, h], axis=0)
+            do_gather = False
+        if is_local and local_bias is not None:
+            bias_i = local_bias
+        lrng = None
+        if rng is not None:
+            rng, lrng = jax.random.split(rng)
+        h, probs = vit_layer(
+            params["layers"][i],
+            h,
+            num_heads=_num_heads(params["layers"][i], head_dim),
+            act=act,
+            bias=bias_i,
+            head_z=layer_gate(head_z, i),
+            head_layer_z=layer_gate(head_layer_z, i),
+            mlp_z=layer_gate(mlp_z, i),
+            output_probs=output_attentions,
+            dropout_rate=cfg.get("attention_dropout", 0.0),
+            rng=lrng,
+            train=train,
+            dtype=dtype,
+            impl=impl,
+        )
+        if output_attentions:
+            all_probs.append(probs)
+    if output_hidden_states:
+        all_hidden.append(h)
+
+    h = layer_norm(params["post_ln"], h, eps=1e-5)
+
+    out = {"last_hidden": h, "hidden_states": all_hidden, "attentions": all_probs}
+    if idx_to_group_img is not None:
+        bs = idx_to_group_img.shape[0]
+        out["last_hidden"] = h[:bs]
+        out["full_atts_hidden"] = h[bs:]
+    return out
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, num_patches_new: int) -> jnp.ndarray:
+    """Bicubic pos-embed interpolation for resolution changes
+    (reference models/vit.py:222-246) — [N+1, D] -> [N'+1, D]."""
+    n_extra = 1  # CLS
+    emb = pos_embed[n_extra:]
+    cls = pos_embed[:n_extra]
+    size_old = int(emb.shape[0] ** 0.5)
+    size_new = int(num_patches_new**0.5)
+    if size_old == size_new:
+        return pos_embed
+    d = emb.shape[-1]
+    grid = emb.reshape(size_old, size_old, d)
+    grid = jax.image.resize(grid, (size_new, size_new, d), method="bicubic")
+    return jnp.concatenate([cls, grid.reshape(size_new * size_new, d)], axis=0)

@@ -1,0 +1,161 @@
+"""Multi-head attention (self + image-grounded cross) with structured gates.
+
+One implementation serves teacher and student (reference duplicates this 4×:
+models/clip_vit.py:77-172, models/xbert.py:218-362, efficient_models/
+eff_vit.py, efficient_models/eff_bert.py). Gates:
+
+- head_z (num_heads,): multiplies per-head context before the output
+  projection (reference eff_vit.py:194-195, eff_bert.py:354-355);
+- head_layer_z scalar: scales the attention output (eff_vit.py:201-202).
+
+Passing None gates compiles to the ungated (teacher) program — the branch
+resolves at trace time, so gating with None is free under XLA.
+
+Supports a fixed-size functional KV cache for jittable autoregressive
+decoding (replacing the reference's Python-level `past_key_value` tuple
+growth, eff_bert.py:291-295) and a Pallas fused-attention fast path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .basic import dense, init_dense
+
+Array = jax.Array
+
+NEG_INF = -1e9  # additive-bias masking value (f32)
+
+
+def init_attention(key, d_model: int, num_heads: int, *, kv_width: Optional[int] = None):
+    """Params for one attention block. kv_width != d_model for cross-attn
+    into the vision tower (reference xbert.py:235-240 encoder_width)."""
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    kv_width = kv_width or d_model
+    return {
+        "q": init_dense(kq, d_model, d_model),
+        "k": init_dense(kk, kv_width, d_model),
+        "v": init_dense(kv, kv_width, d_model),
+        "out": init_dense(ko, d_model, d_model),
+    }
+
+
+def make_attention_bias(mask: Array, dtype=jnp.float32) -> Array:
+    """[B, Tk] or [B, Tq, Tk] boolean/0-1 mask -> additive bias [B,1,*,Tk]."""
+    mask = mask.astype(jnp.float32)
+    if mask.ndim == 2:
+        bias = (1.0 - mask)[:, None, None, :] * NEG_INF
+    elif mask.ndim == 3:
+        bias = (1.0 - mask)[:, None, :, :] * NEG_INF
+    else:
+        raise ValueError(f"mask ndim {mask.ndim}")
+    return bias.astype(dtype)
+
+
+def causal_bias(q_len: int, k_len: int, *, offset: Array | int = 0, dtype=jnp.float32) -> Array:
+    """Causal additive bias [1,1,q_len,k_len]; offset = number of cached
+    positions preceding the current query block."""
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 0) + offset
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 1)
+    allowed = k_pos <= q_pos
+    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
+
+
+def _split_heads(x: Array, num_heads: int) -> Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: Array) -> Array:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def multi_head_attention(
+    params,
+    x_q: Array,
+    x_kv: Optional[Array] = None,
+    *,
+    num_heads: int,
+    bias: Optional[Array] = None,
+    head_z: Optional[Array] = None,
+    head_layer_z: Optional[Array] = None,
+    output_probs: bool = False,
+    dropout_rate: float = 0.0,
+    rng: Optional[Array] = None,
+    train: bool = False,
+    dtype=None,
+    cache: Optional[dict] = None,
+    impl: str = "xla",
+):
+    """Returns (attn_output [B,Tq,D], probs [B,H,Tq,Tk] or None, new_cache).
+
+    cache: {"k": [B,H,L,dh], "v": [B,H,L,dh], "index": int32} — fixed-size
+    ring-free decode cache; new keys/values are written at `index` and
+    attention spans the first index+Tq positions (bias must mask the rest —
+    use `decode_bias`).
+    """
+    self_attn = x_kv is None
+    if self_attn:
+        x_kv = x_q
+
+    q = _split_heads(dense(params["q"], x_q, dtype=dtype), num_heads)
+    k = _split_heads(dense(params["k"], x_kv, dtype=dtype), num_heads)
+    v = _split_heads(dense(params["v"], x_kv, dtype=dtype), num_heads)
+
+    new_cache = cache
+    if cache is not None:
+        idx = cache["index"]
+        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, idx, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, idx, 0))
+        k, v = ck, cv
+        new_cache = {"k": ck, "v": cv, "index": idx + x_q.shape[1]}
+
+    dh = q.shape[-1]
+    scale = 1.0 / math.sqrt(dh)
+
+    if impl == "pallas" and not output_probs and not (train and dropout_rate > 0.0):
+        from .pallas_attention import flash_attention
+
+        ctx = flash_attention(q * scale, k, v, bias=bias)
+        probs = None
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            scores = scores + bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs_d = probs
+        if train and dropout_rate > 0.0 and rng is not None:
+            keep = 1.0 - dropout_rate
+            probs_d = probs * jax.random.bernoulli(rng, keep, probs.shape) / keep
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d.astype(v.dtype), v)
+
+    if head_z is not None:
+        ctx = ctx * head_z.reshape(1, -1, 1, 1).astype(ctx.dtype)
+
+    out = dense(params["out"], _merge_heads(ctx), dtype=dtype)
+    if head_layer_z is not None:
+        out = out * jnp.asarray(head_layer_z, dtype=out.dtype)
+
+    return out, (probs if output_probs else None), new_cache
+
+
+def init_decode_cache(batch: int, num_heads: int, max_len: int, head_dim: int, dtype=jnp.float32) -> dict:
+    return {
+        "k": jnp.zeros((batch, num_heads, max_len, head_dim), dtype),
+        "v": jnp.zeros((batch, num_heads, max_len, head_dim), dtype),
+        "index": jnp.array(0, jnp.int32),
+    }
+
+
+def decode_bias(max_len: int, index: Array, q_len: int = 1, dtype=jnp.float32) -> Array:
+    """Bias for cached decode: positions < index+q_len are visible, causally
+    within the query block."""
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, max_len), 1)
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, max_len), 0) + index
+    allowed = k_pos <= q_pos
+    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
