@@ -1,0 +1,409 @@
+"""Checkpoint IO: torch/HF import with X-VLM key remaps + native save/load.
+
+Checkpoint-format parity is a stated requirement: this module reads the
+reference's `.th` / HF `.bin` layouts (via torch-cpu -> numpy) and reproduces
+every remap the reference's `load_pretrained` family performs:
+
+- HF CLIP `vision_model.embeddings.*` -> patch_embed/pos_embed
+  (reference models/xvlm.py:110-125)
+- 12->6 layer subsampling mapper {1:0,3:1,5:2,7:3,9:4,11:5}
+  (models/xvlm.py:128-130 vision, 220-222 text)
+- pos-embed bicubic interpolation for resolution changes
+  (models/vit.py:222-246, models/xvlm.py:243-266)
+- `text_encoder.bert.*` prefix strip (models/xvlm.py:268-276)
+- build_mlp Sequential indices 0/1/3 -> fc1/ln/fc2 heads
+
+Native checkpoints are msgpack pytrees (flax.serialization) written as
+`model_state_step_{N}.th`-style names for Checkpointer parity
+(utils/checkpointer.py:26-49).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = np.ndarray
+
+LAYER_MAPPER_12_TO_6 = {1: 0, 3: 1, 5: 2, 7: 3, 9: 4, 11: 5}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Array]:
+    """torch checkpoint -> {key: np.ndarray}. Unwraps {'model': ...} /
+    {'state_dict': ...} containers (reference load_pretrained heads)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for container_key in ("model", "state_dict", "module"):
+        if isinstance(sd, dict) and container_key in sd and isinstance(sd[container_key], dict):
+            sd = sd[container_key]
+            break
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _ln(sd: Dict[str, Array], prefix: str) -> dict:
+    return {"scale": jnp.asarray(sd[f"{prefix}.weight"]), "bias": jnp.asarray(sd[f"{prefix}.bias"])}
+
+
+def _dense(sd: Dict[str, Array], prefix: str) -> dict:
+    p = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def _emb(sd: Dict[str, Array], key: str) -> dict:
+    return {"embedding": jnp.asarray(sd[key])}
+
+
+def _mlp_head(sd: Dict[str, Array], prefix: str) -> dict:
+    """reference build_mlp Sequential(Linear, LayerNorm, GELU, Linear)."""
+    return {
+        "fc1": _dense(sd, f"{prefix}.0"),
+        "ln": _ln(sd, f"{prefix}.1"),
+        "fc2": _dense(sd, f"{prefix}.3"),
+    }
+
+
+def subsample_layers(sd: Dict[str, Array], prefix: str, mapper: Dict[int, int]) -> Dict[str, Array]:
+    """Reproduce reference load_params_change / load_params_choose_layers
+    (models/xvlm.py:24-52): remap `{prefix}.{i}.` -> `{prefix}.{mapper[i]}.`,
+    dropping unmapped layers."""
+    out = {}
+    pat = re.compile(re.escape(prefix) + r"\.(\d+)\.(.*)")
+    for k, v in sd.items():
+        m = pat.match(k)
+        if m is None:
+            out[k] = v
+            continue
+        i = int(m.group(1))
+        if i in mapper:
+            out[f"{prefix}.{mapper[i]}.{m.group(2)}"] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_clip_vision(sd: Dict[str, Array]) -> Dict[str, Array]:
+    """HF clip-vit-base-patch16 -> reference's internal CLIP keying
+    (models/xvlm.py:110-125): strip 'vision_model.', embeddings.* flattened."""
+    out = {}
+    for k, v in sd.items():
+        if not k.startswith("vision_model."):
+            continue
+        k = k[len("vision_model."):]
+        if k.startswith("embeddings."):
+            k = k[len("embeddings."):]
+            k = k.replace("patch_embedding.weight", "patch_embed.weight")
+            k = k.replace("position_embedding.weight", "pos_embed.weight")
+        if k == "position_ids":
+            continue
+        out[k] = v
+    return out
+
+
+def vit_params_from_state_dict(
+    sd: Dict[str, Array],
+    num_layers: int,
+    *,
+    num_patches: Optional[int] = None,
+) -> dict:
+    """Reference-keyed CLIP ViT state dict -> our vit param tree.
+
+    Applies the 12->6 subsample when the checkpoint has 12 layers and the
+    target 6, and pos-embed interpolation when num_patches differs."""
+    n_ckpt = 1 + max(
+        int(m.group(1)) for m in (re.match(r"encoder\.layers\.(\d+)\.", k) for k in sd) if m
+    )
+    if n_ckpt == 12 and num_layers == 6:
+        sd = subsample_layers(sd, "encoder.layers", LAYER_MAPPER_12_TO_6)
+    elif n_ckpt != num_layers:
+        raise ValueError(f"checkpoint has {n_ckpt} vision layers, target {num_layers}")
+
+    pos = jnp.asarray(sd["pos_embed.weight"])
+    if num_patches is not None and pos.shape[0] != num_patches + 1:
+        from ..models.vit import interpolate_pos_embed
+
+        pos = interpolate_pos_embed(pos, num_patches)
+
+    params = {
+        # torch conv OIHW -> HWIO
+        "patch_embed": {"kernel": jnp.asarray(sd["patch_embed.weight"]).transpose(2, 3, 1, 0)},
+        "class_embedding": jnp.asarray(sd["class_embedding"]),
+        "pos_embed": {"embedding": pos},
+        "pre_ln": _ln(sd, "pre_layrnorm"),
+        "post_ln": _ln(sd, "post_layernorm"),
+        "layers": [],
+    }
+    for i in range(num_layers):
+        p = f"encoder.layers.{i}"
+        params["layers"].append(
+            {
+                "ln1": _ln(sd, f"{p}.layer_norm1"),
+                "attn": {
+                    "q": _dense(sd, f"{p}.self_attn.q_proj"),
+                    "k": _dense(sd, f"{p}.self_attn.k_proj"),
+                    "v": _dense(sd, f"{p}.self_attn.v_proj"),
+                    "out": _dense(sd, f"{p}.self_attn.out_proj"),
+                },
+                "ln2": _ln(sd, f"{p}.layer_norm2"),
+                "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")},
+            }
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Text tower
+# ---------------------------------------------------------------------------
+
+
+def strip_bert_prefix(sd: Dict[str, Array]) -> Dict[str, Array]:
+    """'bert.' prefix strip (reference models/xvlm.py:268-276)."""
+    out = {}
+    for k, v in sd.items():
+        out[k[5:] if k.startswith("bert.") else k] = v
+    return out
+
+
+def bert_params_from_state_dict(
+    sd: Dict[str, Array],
+    num_layers: int,
+    fusion_layer: int,
+    *,
+    with_mlm_head: bool = True,
+    cross_from_self_init: bool = False,
+) -> dict:
+    """HF/X-VLM BERT state dict -> our bert param tree.
+
+    - 12->6 subsample when needed (models/xvlm.py:220-222)
+    - cross_from_self_init: when importing a vanilla HF BERT that has no
+    crossattention weights, initialize them from the self-attention weights
+    (HF BertModel init behavior the reference relies on leaves them random;
+    we copy self weights which is strictly better and deterministic)."""
+    sd = strip_bert_prefix(sd)
+    layer_ids = [
+        int(m.group(1)) for m in (re.match(r"encoder\.layer\.(\d+)\.", k) for k in sd) if m
+    ]
+    n_ckpt = 1 + max(layer_ids) if layer_ids else 0
+    if n_ckpt == 12 and num_layers == 6:
+        sd = subsample_layers(sd, "encoder.layer", LAYER_MAPPER_12_TO_6)
+    elif n_ckpt != num_layers:
+        raise ValueError(f"checkpoint has {n_ckpt} text layers, target {num_layers}")
+
+    params: dict = {
+        "embeddings": {
+            "word": _emb(sd, "embeddings.word_embeddings.weight"),
+            "position": _emb(sd, "embeddings.position_embeddings.weight"),
+            "token_type": _emb(sd, "embeddings.token_type_embeddings.weight"),
+            "ln": _ln(sd, "embeddings.LayerNorm"),
+        },
+        "layers": [],
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        layer = {
+            "attention": {
+                "q": _dense(sd, f"{p}.attention.self.query"),
+                "k": _dense(sd, f"{p}.attention.self.key"),
+                "v": _dense(sd, f"{p}.attention.self.value"),
+                "out": _dense(sd, f"{p}.attention.output.dense"),
+            },
+            "attention_ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
+            "intermediate": _dense(sd, f"{p}.intermediate.dense"),
+            "output": _dense(sd, f"{p}.output.dense"),
+            "output_ln": _ln(sd, f"{p}.output.LayerNorm"),
+        }
+        if i >= fusion_layer:
+            if f"{p}.crossattention.self.query.weight" in sd:
+                layer["crossattention"] = {
+                    "q": _dense(sd, f"{p}.crossattention.self.query"),
+                    "k": _dense(sd, f"{p}.crossattention.self.key"),
+                    "v": _dense(sd, f"{p}.crossattention.self.value"),
+                    "out": _dense(sd, f"{p}.crossattention.output.dense"),
+                }
+                layer["crossattention_ln"] = _ln(sd, f"{p}.crossattention.output.LayerNorm")
+            elif cross_from_self_init:
+                layer["crossattention"] = jax.tree.map(lambda x: x, layer["attention"])
+                layer["crossattention_ln"] = jax.tree.map(lambda x: x, layer["attention_ln"])
+        params["layers"].append(layer)
+
+    if with_mlm_head and "cls.predictions.transform.dense.weight" in sd:
+        decoder = {"kernel": jnp.asarray(sd["cls.predictions.decoder.weight"].T)}
+        bias_key = (
+            "cls.predictions.decoder.bias"
+            if "cls.predictions.decoder.bias" in sd
+            else "cls.predictions.bias"
+        )
+        if bias_key in sd:
+            decoder["bias"] = jnp.asarray(sd[bias_key])
+        params["cls"] = {
+            "transform": {
+                "dense": _dense(sd, "cls.predictions.transform.dense"),
+                "ln": _ln(sd, "cls.predictions.transform.LayerNorm"),
+            },
+            "decoder": decoder,
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Full X-VLM checkpoints
+# ---------------------------------------------------------------------------
+
+
+def split_by_prefix(sd: Dict[str, Array], prefix: str) -> Dict[str, Array]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def xvlm_params_from_state_dict(
+    sd: Dict[str, Array],
+    *,
+    vision_layers: int,
+    text_layers: int,
+    fusion_layer: int,
+    num_patches: Optional[int] = None,
+    with_bbox_head: bool = False,
+    with_mlm_head: bool = True,
+) -> dict:
+    """Reference XVLMBase `.th` state dict -> our full param tree."""
+    params = {
+        "vision": vit_params_from_state_dict(
+            split_by_prefix(sd, "vision_encoder."), vision_layers, num_patches=num_patches
+        ),
+        "text": bert_params_from_state_dict(
+            split_by_prefix(sd, "text_encoder."), text_layers, fusion_layer,
+            with_mlm_head=with_mlm_head,
+        ),
+        "vision_proj": _dense(sd, "vision_proj"),
+        "text_proj": _dense(sd, "text_proj"),
+        "temp": jnp.asarray(sd["temp"]).reshape(()),
+        "itm_head": _mlp_head(sd, "itm_head"),
+    }
+    if with_bbox_head and "bbox_head.0.weight" in sd:
+        params["bbox_head"] = _mlp_head(sd, "bbox_head")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Export back to reference keying (for parity round-trips)
+# ---------------------------------------------------------------------------
+
+
+def xvlm_state_dict_from_params(params: dict, fusion_layer: int) -> Dict[str, Array]:
+    """Inverse of xvlm_params_from_state_dict (torch-keyed, numpy values)."""
+    sd: Dict[str, Array] = {}
+
+    def put_dense(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["kernel"]).T
+        if "bias" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_ln(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    v = params["vision"]
+    sd["vision_encoder.patch_embed.weight"] = np.asarray(v["patch_embed"]["kernel"]).transpose(3, 2, 0, 1)
+    sd["vision_encoder.class_embedding"] = np.asarray(v["class_embedding"])
+    sd["vision_encoder.pos_embed.weight"] = np.asarray(v["pos_embed"]["embedding"])
+    put_ln("vision_encoder.pre_layrnorm", v["pre_ln"])
+    put_ln("vision_encoder.post_layernorm", v["post_ln"])
+    for i, l in enumerate(v["layers"]):
+        p = f"vision_encoder.encoder.layers.{i}"
+        put_ln(f"{p}.layer_norm1", l["ln1"])
+        put_ln(f"{p}.layer_norm2", l["ln2"])
+        for name, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("out", "out_proj")):
+            put_dense(f"{p}.self_attn.{hf}", l["attn"][name])
+        put_dense(f"{p}.mlp.fc1", l["mlp"]["fc1"])
+        put_dense(f"{p}.mlp.fc2", l["mlp"]["fc2"])
+
+    t = params["text"]
+    sd["text_encoder.embeddings.word_embeddings.weight"] = np.asarray(t["embeddings"]["word"]["embedding"])
+    sd["text_encoder.embeddings.position_embeddings.weight"] = np.asarray(t["embeddings"]["position"]["embedding"])
+    sd["text_encoder.embeddings.token_type_embeddings.weight"] = np.asarray(t["embeddings"]["token_type"]["embedding"])
+    put_ln("text_encoder.embeddings.LayerNorm", t["embeddings"]["ln"])
+    for i, l in enumerate(t["layers"]):
+        p = f"text_encoder.encoder.layer.{i}"
+        for name, hf in (("q", "query"), ("k", "key"), ("v", "value")):
+            put_dense(f"{p}.attention.self.{hf}", l["attention"][name])
+        put_dense(f"{p}.attention.output.dense", l["attention"]["out"])
+        put_ln(f"{p}.attention.output.LayerNorm", l["attention_ln"])
+        if "crossattention" in l:
+            for name, hf in (("q", "query"), ("k", "key"), ("v", "value")):
+                put_dense(f"{p}.crossattention.self.{hf}", l["crossattention"][name])
+            put_dense(f"{p}.crossattention.output.dense", l["crossattention"]["out"])
+            put_ln(f"{p}.crossattention.output.LayerNorm", l["crossattention_ln"])
+        put_dense(f"{p}.intermediate.dense", l["intermediate"])
+        put_dense(f"{p}.output.dense", l["output"])
+        put_ln(f"{p}.output.LayerNorm", l["output_ln"])
+    if "cls" in t:
+        put_dense("text_encoder.cls.predictions.transform.dense", t["cls"]["transform"]["dense"])
+        put_ln("text_encoder.cls.predictions.transform.LayerNorm", t["cls"]["transform"]["ln"])
+        put_dense("text_encoder.cls.predictions.decoder", t["cls"]["decoder"])
+
+    put_dense("vision_proj", params["vision_proj"])
+    put_dense("text_proj", params["text_proj"])
+    sd["temp"] = np.asarray(params["temp"])
+    for head in ("itm_head", "bbox_head"):
+        if head in params:
+            put_dense(f"{head}.0", params[head]["fc1"])
+            put_ln(f"{head}.1", params[head]["ln"])
+            put_dense(f"{head}.3", params[head]["fc2"])
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoints (msgpack pytrees) + Checkpointer parity
+# ---------------------------------------------------------------------------
+
+
+def save_pytree(path: str, tree) -> None:
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(jax.tree.map(np.asarray, tree)))
+
+
+def load_pytree(path: str):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+class Checkpointer:
+    """reference utils/checkpointer.py:26-49: model_state_step_{N} /
+    model_state_epoch_{N} + rolling training_state_latest."""
+
+    def __init__(self, serialization_dir: str):
+        self.serialization_dir = serialization_dir
+        os.makedirs(serialization_dir, exist_ok=True)
+
+    def save_checkpoint(self, step: int | str, train_state, *, training_states=None, step_mode: bool = True):
+        tag = "step" if step_mode else "epoch"
+        path = os.path.join(self.serialization_dir, f"model_state_{tag}_{step}.ckpt")
+        save_pytree(path, train_state)
+        if training_states is not None:
+            latest = os.path.join(self.serialization_dir, "training_state_latest.ckpt")
+            save_pytree(latest, training_states)
+        return path
+
+    def load_latest(self):
+        latest = os.path.join(self.serialization_dir, "training_state_latest.ckpt")
+        if not os.path.exists(latest):
+            return None
+        return load_pytree(latest)

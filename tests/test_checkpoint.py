@@ -1,0 +1,96 @@
+"""Checkpoint import/export parity tests (synthetic torch state dicts)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficientvlm_tpu.config import TextConfig, VisionConfig
+from efficientvlm_tpu.models.xvlm import XVLM
+from efficientvlm_tpu.train import checkpoint as C
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    vcfg = VisionConfig.create(
+        vision_width=32, num_attention_heads=4, intermediate_size=64,
+        num_hidden_layers=6, image_res=32, patch_size=8,
+    )
+    tcfg = TextConfig.create(
+        vocab_size=50, hidden_size=32, num_hidden_layers=6, num_attention_heads=4,
+        intermediate_size=64, encoder_width=32, max_position_embeddings=40,
+    )
+    model = XVLM(vcfg, tcfg, {"embed_dim": 16})
+    params = model.init(jax.random.PRNGKey(0), with_bbox_head=True)
+    return model, params
+
+
+def test_torch_roundtrip(small_model, tmp_path):
+    """params -> torch-keyed state dict -> torch.save/load -> params again
+    must be exact."""
+    import torch
+
+    model, params = small_model
+    sd = C.xvlm_state_dict_from_params(params, fusion_layer=3)
+    path = str(tmp_path / "model.th")
+    torch.save({"model": {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}}, path)
+
+    sd2 = C.load_torch_state_dict(path)
+    restored = C.xvlm_params_from_state_dict(
+        sd2, vision_layers=6, text_layers=6, fusion_layer=3,
+        with_bbox_head=True, with_mlm_head=True,
+    )
+    leaves1, tdef1 = jax.tree_util.tree_flatten(params)
+    leaves2, tdef2 = jax.tree_util.tree_flatten(restored)
+    assert tdef1 == tdef2, (tdef1, tdef2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_layer_subsampling():
+    """12->6 mapper keeps odd layers {1,3,5,7,9,11} (models/xvlm.py:128-130)."""
+    sd = {f"encoder.layers.{i}.x": np.full((1,), float(i)) for i in range(12)}
+    out = C.subsample_layers(sd, "encoder.layers", C.LAYER_MAPPER_12_TO_6)
+    assert sorted(out.keys()) == [f"encoder.layers.{i}.x" for i in range(6)]
+    for new, old in ((0, 1), (1, 3), (2, 5), (3, 7), (4, 9), (5, 11)):
+        assert out[f"encoder.layers.{new}.x"][0] == float(old)
+
+
+def test_hf_clip_prefix_remap():
+    sd = {
+        "vision_model.embeddings.patch_embedding.weight": np.zeros((8, 3, 4, 4)),
+        "vision_model.embeddings.position_embedding.weight": np.zeros((17, 8)),
+        "vision_model.embeddings.class_embedding": np.zeros((8,)),
+        "vision_model.embeddings.position_ids": np.arange(17),
+        "vision_model.pre_layrnorm.weight": np.ones((8,)),
+        "text_model.something": np.zeros(1),
+    }
+    out = C.convert_hf_clip_vision(sd)
+    assert "patch_embed.weight" in out
+    assert "pos_embed.weight" in out
+    assert "class_embedding" in out
+    assert "position_ids" not in out
+    assert not any(k.startswith("text_model") for k in out)
+
+
+def test_pos_embed_interp_on_load(small_model):
+    model, params = small_model
+    sd = C.xvlm_state_dict_from_params(params, fusion_layer=3)
+    # target resolution 48x48/8 -> 36 patches (ckpt has 16)
+    restored = C.xvlm_params_from_state_dict(
+        sd, vision_layers=6, text_layers=6, fusion_layer=3, num_patches=36,
+    )
+    assert restored["vision"]["pos_embed"]["embedding"].shape == (37, 32)
+
+
+def test_native_checkpointer(small_model, tmp_path):
+    model, params = small_model
+    ckpt = C.Checkpointer(str(tmp_path / "out"))
+    p = ckpt.save_checkpoint(5, {"model": params}, training_states={"step": 5})
+    restored = C.load_pytree(p)
+    leaves1 = jax.tree_util.tree_leaves(params)
+    leaves2 = jax.tree_util.tree_leaves(restored["model"])
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.load_latest()["step"] == 5
