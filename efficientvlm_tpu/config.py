@@ -170,4 +170,21 @@ def load_task_config(yaml_path: str, repo_root: str | None = None) -> Config:
         )
     else:
         cfg["text"] = TextConfig.create(**text_kw)
+
+    # optional explicit teacher tower configs (teacher defaults to 12L/12L
+    # at production scale, GeneralDistill.py:483-490; tests/tiny runs
+    # override via teacher_vision_config / teacher_text_config)
+    tv_path = cfg.get("teacher_vision_config")
+    if tv_path:
+        tv_path = tv_path if os.path.isabs(tv_path) else os.path.join(root, tv_path)
+        cfg["teacher_vision"] = VisionConfig.create(
+            image_res=cfg.get("image_res", 224), **load_json(tv_path)
+        )
+    tt_path = cfg.get("teacher_text_config")
+    if tt_path:
+        tt_path = tt_path if os.path.isabs(tt_path) else os.path.join(root, tt_path)
+        tkw = dict(num_hidden_layers=cfg.get("teacher_text_num_hidden_layers", 12))
+        if "teacher_vision" in cfg:
+            tkw["encoder_width"] = cfg["teacher_vision"]["vision_width"]
+        cfg["teacher_text"] = TextConfig.from_bert_json(tt_path, **tkw)
     return cfg

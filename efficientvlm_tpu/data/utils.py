@@ -1,0 +1,105 @@
+"""Data-side utilities: text normalization + cross-process result merging.
+
+pre_question / pre_caption reproduce the reference normalization
+(dataset/utils.py:17-57). collect_result reproduces the rank-sharded JSON
+merge (dataset/utils.py:104-141) over jax.process_index/multihost barriers
+instead of torch.distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import List, Optional
+
+
+def pre_question(question: str, max_ques_words: int) -> str:
+    question = re.sub(r"([,.'!?\"()*#:;~])", " ", question.lower())
+    question = question.replace("-", " ").replace("/", " ")
+    question = question.rstrip(" ")
+    words = question.split(" ")
+    if len(words) > max_ques_words:
+        question = " ".join(words[:max_ques_words])
+    return question
+
+
+def pre_caption(caption: str, max_words: int) -> str:
+    caption_raw = caption
+    caption = re.sub(r"([,.'!?\"()*#:;~])", " ", caption.lower())
+    caption = caption.replace("-", " ").replace("/", " ").replace("<person>", "person")
+    caption = re.sub(r"\s{2,}", " ", caption)
+    caption = caption.rstrip("\n").strip(" ")
+    words = caption.split(" ")
+    if len(words) > max_words:
+        caption = " ".join(words[:max_words])
+    if not caption:
+        raise ValueError(f"pre_caption yields invalid text (raw: {caption_raw})")
+    return caption
+
+
+def write_jsonl(result: List[dict], path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        for r in result:
+            f.write(json.dumps(r) + "\n")
+
+
+def read_jsonl(path: str) -> List[dict]:
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def _barrier():
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("collect_result")
+    except Exception:
+        pass
+
+
+def collect_result(
+    result: List[dict],
+    filename: str,
+    local_wdir: str,
+    *,
+    rank: Optional[int] = None,
+    world_size: Optional[int] = None,
+    remove_duplicate: str = "",
+    save_result: bool = False,
+):
+    """Per-rank jsonl dump -> barrier -> rank-0 merge. Returns merged list
+    (or final file path when save_result)."""
+    import jax
+
+    rank = rank if rank is not None else jax.process_index()
+    world_size = world_size if world_size is not None else jax.process_count()
+    write_jsonl(result, os.path.join(local_wdir, f"{filename}_rank{rank}.json"))
+    _barrier()
+
+    if rank != 0:
+        _barrier()
+        return None
+
+    merged: List[dict] = []
+    for r in range(world_size):
+        merged += read_jsonl(os.path.join(local_wdir, f"{filename}_rank{r}.json"))
+    if remove_duplicate:
+        seen, dedup = set(), []
+        for res in merged:
+            if res[remove_duplicate] not in seen:
+                seen.add(res[remove_duplicate])
+                dedup.append(res)
+        merged = dedup
+    out = merged
+    if save_result:
+        final = os.path.join(local_wdir, f"{filename}.json")
+        with open(final, "w") as f:
+            json.dump(merged, f, ensure_ascii=False, indent=4)
+        out = final
+    _barrier()
+    return out

@@ -1,0 +1,165 @@
+"""Eff_Captioning driver: stage-2 COCO captioning pruning fine-tune with KD;
+eval = beam-search generation -> COCO metrics (reference Eff_Captioning.py).
+Also serves the domain post-pretrain (Captioning_pretrain.py) when run
+without a teacher (kd_weight=0)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.datasets import CaptioningEvalDataset, CaptioningTrainDataset, SimpleLoader
+from ..data.tokenizer import build_tokenizer
+from ..data.transforms import ImageTransform
+from ..data.utils import collect_result
+from ..evaluation.caption_metrics import coco_caption_eval
+from ..models.model_generation import XVLMForCaptioning
+from ..pruning.l0_module import XVLML0Module
+from ..train.steps import captioning_kd_losses, init_train_state, make_task_train_step
+from ..utils import MetricLogger
+from . import common
+
+
+def build_models(config: Config):
+    vcfg, tcfg = common.model_configs(config)
+    tv, tt = common.teacher_configs(config)
+    return XVLMForCaptioning(vcfg, tcfg, config), XVLMForCaptioning(tv, tt, config)
+
+
+def build_l0(config: Config) -> XVLML0Module:
+    vcfg, tcfg = common.model_configs(config)
+    return XVLML0Module(
+        vision_layers=vcfg["num_hidden_layers"],
+        text_layers=tcfg["fusion_layer"],
+        cross_layers=tcfg["num_hidden_layers"] - tcfg["fusion_layer"],
+        hidden_size=tcfg["hidden_size"],
+        intermediate_size=tcfg["intermediate_size"],
+        num_heads=tcfg["num_attention_heads"],
+        target_sparsity=float(config.get("sparsity", 0.0)),
+    )
+
+
+def evaluation(model, params, loader, tokenizer, config: Config, *, zs=None, dtype=None):
+    """Beam-search caption generation (Eff_Captioning.py:184-208)."""
+    prompt = config.get("prompt", "a picture of ")
+    prompt_ids = tokenizer([prompt])["input_ids"][:, :-1]  # drop [SEP]
+    num_beams = int(config.get("num_beams", 3))
+    max_len = int(config.get("max_length", 20))
+    results = []
+    gen = jax.jit(lambda p, img, pids: model.generate(
+        p, img, pids, max_length=max_len, min_length=int(config.get("min_length", 5)),
+        num_beams=num_beams, eos_id=tokenizer.sep_token_id, pad_id=tokenizer.pad_token_id,
+        zs=zs, dtype=dtype,
+    ))
+    for images, image_ids in loader:
+        b = len(image_ids)
+        pids = jnp.asarray(np.repeat(prompt_ids, b, axis=0))
+        tokens = gen(params, jnp.asarray(images), pids)
+        for img_id, toks in zip(image_ids, np.asarray(tokens)):
+            caption = tokenizer.decode(toks, skip_special_tokens=True)
+            caption = caption[len(prompt.strip()):].strip() if caption.startswith(prompt.strip()) else caption
+            results.append({"image_id": int(img_id), "caption": caption})
+    return results
+
+
+def main(args: Config, config: Config) -> dict:
+    info = common.setup(args, config)
+    tokenizer = build_tokenizer(config.get("text_encoder", ""))
+    image_res = config.get("image_res", 384)
+    prompt = config.get("prompt", "a picture of ")
+    prompt_len = len(tokenizer([prompt])["input_ids"][0]) - 1
+    config["prompt_length"] = prompt_len
+
+    student, teacher = build_models(config)
+    student.prompt_length = prompt_len
+    teacher.prompt_length = prompt_len
+    sparams = common.maybe_load_params(student, Config(), Config(), lambda: student.init(jax.random.PRNGKey(0)))
+    tparams = common.maybe_load_params(teacher, Config(), Config(), lambda: teacher.init(jax.random.PRNGKey(1)))
+    l0 = build_l0(config)
+    l0_params = l0.init(jax.random.PRNGKey(2))
+
+    val_ds = CaptioningEvalDataset(config["val_file"], ImageTransform.test(image_res), config.get("image_root", ""))
+    val_loader = SimpleLoader(val_ds, batch_size=config.get("batch_size_test", 16),
+                              rank=info["rank"], world_size=info["world_size"])
+
+    if args.get("evaluate"):
+        zs = l0.forward_deterministic({"loga": l0_params["loga"]})
+        results = evaluation(student, sparams, val_loader, tokenizer, config, zs=zs)
+        merged = collect_result(results, "caption_result", args.get("output_dir", "/tmp"),
+                                rank=info["rank"], world_size=info["world_size"],
+                                remove_duplicate="image_id")
+        return {"results": merged}
+
+    train_ds = CaptioningTrainDataset(
+        config["train_file"], ImageTransform.train(image_res, seed=args.get("seed", 42)),
+        config.get("image_root", ""), prompt=prompt, max_words=config.get("max_tokens", 30),
+    )
+    bs = int(args.get("bs") or config.get("batch_size_train", 16))
+    train_loader = SimpleLoader(train_ds, batch_size=bs, shuffle=True, drop_last=True,
+                                rank=info["rank"], world_size=info["world_size"])
+    epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 5))
+    steps_per_epoch = max(len(train_loader), 1)
+    l0.lagrangian_warmup = int(
+        float(config.get("L0_schedular", {}).get("lagrangian_warmup_epochs", 1)) * steps_per_epoch
+    )
+    optimizers = common.build_optimizers(sparams, config, epochs * steps_per_epoch)
+    state = init_train_state(sparams, l0_params, optimizers)
+
+    def student_forward(params, zs, batch, rng):
+        return student.forward(
+            params, batch["image"], batch["caption_ids"], batch["caption_atts"],
+            pad_token_id=tokenizer.pad_token_id, prompt_length=prompt_len, zs=zs,
+            rng=rng, output_attentions=True, output_hidden_states=True, train=True,
+        )
+
+    def teacher_forward(params, batch, rng):
+        return teacher.forward(
+            params, batch["image"], batch["caption_ids"], batch["caption_atts"],
+            pad_token_id=tokenizer.pad_token_id, prompt_length=prompt_len,
+            rng=rng, output_attentions=True, output_hidden_states=True, train=False,
+        )
+
+    step_fn = jax.jit(make_task_train_step(
+        student_forward, teacher_forward,
+        lambda s, t: captioning_kd_losses(s, t, temperature=float(args.get("temperature", 1.0))),
+        l0, optimizers, teacher_params=tparams,
+        task_weight=0.7, kd_weight=0.3,  # Eff_Captioning.py:144
+    ))
+
+    rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger()
+        for images, captions, _ in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
+            tok = tokenizer(list(captions), padding="max_length", truncation=True,
+                            max_length=config.get("max_tokens", 30))
+            batch = {
+                "image": jnp.asarray(images),
+                "caption_ids": jnp.asarray(tok["input_ids"]),
+                "caption_atts": jnp.asarray(tok["attention_mask"]),
+            }
+            rng, srng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, srng)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        logger.synchronize_between_processes()
+        zs = l0.forward_deterministic({"loga": state.loga})
+        results = evaluation(student, state.params, val_loader, tokenizer, config, zs=zs)
+        ann_file = config.get("val_gt_file")
+        metrics_out = {}
+        if ann_file:
+            import json
+
+            ann = json.load(open(ann_file))
+            metrics_out = coco_caption_eval(ann, results)
+        common.log_stats(
+            {"epoch": epoch, **metrics_out,
+             **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},
+            args.get("output_dir", ""),
+        )
+        common.save_training_state(
+            args.get("output_dir", ""), epoch,
+            {"model": state.params, "l0": {"loga": state.loga, **state.lam}, "epoch": epoch},
+        )
+    return {"state": state}

@@ -1,0 +1,117 @@
+"""Shared driver plumbing: config merge, seeding, output dirs, model builds.
+
+Mirrors what every reference driver main() repeats (e.g.
+Eff_Retrieval.py:382-551): seed, distributed init, dataset/loader build,
+student+teacher build, optimizer trio, log file handling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, TextConfig, VisionConfig, load_task_config
+from ..data.tokenizer import build_tokenizer
+from ..train import checkpoint as ckpt_io
+from ..train.optim import (
+    create_l0_optimizer,
+    create_lagrangian_optimizer,
+    create_optimizer,
+)
+from ..train.scheduler import create_scheduler
+from ..utils.dist import get_rank, get_world_size, init_distributed_mode
+
+
+def setup(args: Config, config: Config) -> Config:
+    info = init_distributed_mode()
+    np.random.seed(int(args.get("seed", 42)) + info["rank"])
+    if args.get("output_dir"):
+        os.makedirs(args["output_dir"], exist_ok=True)
+        if get_rank() == 0:
+            with open(os.path.join(args["output_dir"], "config.json"), "w") as f:
+                json.dump({"args": args.to_dict(), "config": config.to_dict()}, f, indent=2, default=str)
+    return Config(info)
+
+
+def log_stats(stats: dict, output_dir: str, filename: str = "log.txt") -> None:
+    """JSON-lines epoch log (reference pattern, Eff_Retrieval.py:518-525)."""
+    if get_rank() != 0 or not output_dir:
+        return
+    with open(os.path.join(output_dir, filename), "a") as f:
+        f.write(json.dumps(stats, default=str) + "\n")
+
+
+def model_configs(config: Config) -> Tuple[VisionConfig, TextConfig]:
+    vision = config.get("vision") or VisionConfig.create(image_res=config.get("image_res", 224))
+    text = config.get("text") or TextConfig.create(
+        num_hidden_layers=config.get("text_num_hidden_layers", 12),
+        encoder_width=vision["vision_width"],
+    )
+    return VisionConfig(vision), TextConfig(text)
+
+
+def teacher_configs(config: Config) -> Tuple[VisionConfig, TextConfig]:
+    """Teacher = 12L ViT + 12L BERT (GeneralDistill.py:483-490) unless the
+    config carries explicit teacher_* sections."""
+    tv = config.get("teacher_vision")
+    if tv is None:
+        tv = VisionConfig.create(
+            image_res=config.get("image_res", 224), num_hidden_layers=12, local_attn_depth=4
+        )
+    tt = config.get("teacher_text")
+    if tt is None:
+        tt = TextConfig.create(num_hidden_layers=12, encoder_width=tv["vision_width"])
+    return VisionConfig(tv), TextConfig(tt)
+
+
+def build_optimizers(params, config: Config, total_steps: int, *, init_param_paths=()):
+    opt_cfg = config.get("optimizer", Config())
+    sched_cfg = config.get("schedular", Config())
+    sched = create_scheduler(
+        lr=float(opt_cfg.get("lr", 1e-4)),
+        num_training_steps=total_steps,
+        num_warmup_steps=sched_cfg.get("num_warmup_steps", 0),
+    )
+    main = create_optimizer(
+        params,
+        lr=sched,
+        weight_decay=float(opt_cfg.get("weight_decay", 0.01)),
+        lr_mult=float(opt_cfg.get("lr_mult", 1.0)),
+        init_param_paths=init_param_paths,
+        grad_clip=float(config.get("accelerator", {}).get("CLIP_GRAD_NORM", 1.0) or 0) or None,
+    )
+    reg_lr = float(opt_cfg.get("reg_learning_rate", 0.01))
+    return main, create_l0_optimizer(reg_lr=reg_lr), create_lagrangian_optimizer(reg_lr=reg_lr)
+
+
+def maybe_load_params(model, args: Config, config: Config, build_fn, **load_kw):
+    """Init params; if a checkpoint is given, import it via the torch
+    remap path."""
+    params = build_fn()
+    ckpt = args.get("checkpoint") or config.get("checkpoint")
+    if ckpt and os.path.exists(ckpt):
+        sd = ckpt_io.load_torch_state_dict(ckpt)
+        vcfg, tcfg = model.vision_cfg, model.text_cfg
+        params = ckpt_io.xvlm_params_from_state_dict(
+            sd,
+            vision_layers=vcfg["num_hidden_layers"],
+            text_layers=tcfg["num_hidden_layers"],
+            fusion_layer=tcfg["fusion_layer"],
+            num_patches=vcfg.num_patches,
+            **load_kw,
+        )
+        print(f"### loaded checkpoint from {ckpt}")
+    return params
+
+
+def save_training_state(output_dir: str, tag, payload: dict) -> None:
+    if get_rank() != 0 or not output_dir:
+        return
+    ckpt = ckpt_io.Checkpointer(output_dir)
+    ckpt.save_checkpoint(tag, payload, training_states=payload)

@@ -1,0 +1,153 @@
+"""Eff_NLVR driver: stage-2 NLVR2 pruning fine-tune with KD; eval=accuracy
+(reference Eff_NLVR.py). Also NLVR domain pretrain (NLVR_pretrain.py) via
+main(pretrain=True) using the text-pair 3-way head is left to the task
+config (cls head size)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.datasets import NLVRDataset, SimpleLoader
+from ..data.tokenizer import build_tokenizer
+from ..data.transforms import ImageTransform
+from ..evaluation.grounding import nlvr_accuracy
+from ..models.model_nlvr import XVLMForNLVR
+from ..pruning.l0_module import NLVRL0Module
+from ..train.steps import init_train_state, make_task_train_step, nlvr_kd_losses
+from ..utils import MetricLogger
+from . import common
+
+
+def build_models(config: Config):
+    vcfg, tcfg = common.model_configs(config)
+    tv, tt = common.teacher_configs(config)
+    return XVLMForNLVR(vcfg, tcfg, config), XVLMForNLVR(tv, tt, config)
+
+
+def build_l0(config: Config) -> NLVRL0Module:
+    vcfg, tcfg = common.model_configs(config)
+    return NLVRL0Module(
+        vision_layers=vcfg["num_hidden_layers"],
+        text_layers=tcfg["fusion_layer"],
+        cross_layers=tcfg["num_hidden_layers"] - tcfg["fusion_layer"],
+        hidden_size=tcfg["hidden_size"],
+        intermediate_size=tcfg["intermediate_size"],
+        num_heads=tcfg["num_attention_heads"],
+        vision_hidden_size=vcfg["vision_width"],
+        vision_intermediate_size=vcfg["intermediate_size"],
+        vision_num_heads=vcfg["num_attention_heads"],
+        target_sparsity=float(config.get("sparsity", 0.0)),
+    )
+
+
+def evaluate(model, params, loader, tokenizer, config: Config, *, zs=None, dtype=None) -> float:
+    preds, targets = [], []
+    fwd = jax.jit(lambda p, img, ti, ta, tg: model.forward(
+        p, img, ti, ta, tg, train=False, zs=zs, dtype=dtype))
+    for image0, image1, sentences, labels in loader:
+        tok = tokenizer(list(sentences), padding="max_length", truncation=True,
+                        max_length=config.get("max_tokens", 40))
+        images = jnp.concatenate([jnp.asarray(image0), jnp.asarray(image1)], axis=0)
+        logits = fwd(params, images, jnp.asarray(tok["input_ids"]),
+                     jnp.asarray(tok["attention_mask"]), jnp.asarray(labels))
+        preds.append(np.asarray(logits))
+        targets.append(np.asarray(labels))
+    return nlvr_accuracy(np.concatenate(preds), np.concatenate(targets))
+
+
+def main(args: Config, config: Config) -> dict:
+    info = common.setup(args, config)
+    tokenizer = build_tokenizer(config.get("text_encoder", ""))
+    image_res = config.get("image_res", 384)
+    tform_train = ImageTransform.train(image_res, seed=args.get("seed", 42))
+    tform_test = ImageTransform.test(image_res)
+
+    student, teacher = build_models(config)
+    sparams = common.maybe_load_params(student, Config(), Config(), lambda: student.init(jax.random.PRNGKey(0)))
+    tparams = common.maybe_load_params(teacher, Config(), Config(), lambda: teacher.init(jax.random.PRNGKey(1)))
+    l0 = build_l0(config)
+    l0_params = l0.init(jax.random.PRNGKey(2))
+
+    val_ds = NLVRDataset(config["val_file"], tform_test, config.get("image_root", ""))
+    val_loader = SimpleLoader(val_ds, batch_size=config.get("batch_size_test", 16))
+    test_ds = NLVRDataset(config["test_file"], tform_test, config.get("image_root", ""))
+    test_loader = SimpleLoader(test_ds, batch_size=config.get("batch_size_test", 16))
+
+    if args.get("evaluate"):
+        zs = l0.forward_deterministic({"loga": l0_params["loga"]})
+        acc = evaluate(student, sparams, test_loader, tokenizer, config, zs=zs)
+        common.log_stats({"test_acc": acc}, args.get("output_dir", ""))
+        return {"test_acc": acc}
+
+    train_ds = NLVRDataset(config["train_file"], tform_train, config.get("image_root", ""))
+    bs = int(args.get("bs") or config.get("batch_size_train", 16))
+    train_loader = SimpleLoader(
+        train_ds, batch_size=bs, shuffle=True, drop_last=True,
+        rank=info["rank"], world_size=info["world_size"],
+    )
+    epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 10))
+    steps_per_epoch = max(len(train_loader), 1)
+    l0.lagrangian_warmup = int(
+        float(config.get("L0_schedular", {}).get("lagrangian_warmup_epochs", 1)) * steps_per_epoch
+    )
+    optimizers = common.build_optimizers(sparams, config, epochs * steps_per_epoch,
+                                         init_param_paths=("cls_head",))
+    state = init_train_state(sparams, l0_params, optimizers)
+
+    fusion_s = student.num_text_layers
+
+    def student_forward(params, zs, batch, rng):
+        return student.forward(
+            params, batch["image"], batch["text_ids"], batch["text_atts"], batch["targets"],
+            zs=zs, rng=rng, train=True, output_attentions=True, output_hidden_states=True,
+        )
+
+    def teacher_forward(params, batch, rng):
+        return teacher.forward(
+            params, batch["image"], batch["text_ids"], batch["text_atts"], batch["targets"],
+            rng=rng, train=True, output_attentions=True, output_hidden_states=True,
+        )
+
+    step_fn = jax.jit(make_task_train_step(
+        student_forward, teacher_forward,
+        lambda s, t: nlvr_kd_losses(s, t, fusion_layer_s=fusion_s,
+                                    temperature=float(args.get("temperature", 1.0))),
+        l0, optimizers, teacher_params=tparams,
+        task_weight=0.8, kd_weight=0.2,  # Eff_NLVR.py:150
+    ))
+
+    best, best_epoch = 0.0, 0
+    rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger()
+        for image0, image1, sentences, labels in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
+            tok = tokenizer(list(sentences), padding="max_length", truncation=True,
+                            max_length=config.get("max_tokens", 40))
+            batch = {
+                "image": jnp.concatenate([jnp.asarray(image0), jnp.asarray(image1)], axis=0),
+                "text_ids": jnp.asarray(tok["input_ids"]),
+                "text_atts": jnp.asarray(tok["attention_mask"]),
+                "targets": jnp.asarray(labels),
+            }
+            rng, srng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, srng)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        logger.synchronize_between_processes()
+        zs = l0.forward_deterministic({"loga": state.loga})
+        val_acc = evaluate(student, state.params, val_loader, tokenizer, config, zs=zs)
+        common.log_stats(
+            {"epoch": epoch, "val_acc": val_acc,
+             **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},
+            args.get("output_dir", ""),
+        )
+        if val_acc >= best:
+            best, best_epoch = val_acc, epoch
+            common.save_training_state(
+                args.get("output_dir", ""), "best",
+                {"model": state.params, "l0": {"loga": state.loga, **state.lam}, "epoch": epoch},
+            )
+    return {"best_epoch": best_epoch, "best_acc": best, "state": state}

@@ -1,0 +1,167 @@
+"""Eff_Retrieval driver: stage-2 ITR pruning fine-tune with KD + two-stage
+sharded evaluation (reference Eff_Retrieval.py)."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.datasets import RetrievalEvalDataset, RetrievalTrainDataset, SimpleLoader
+from ..data.tokenizer import build_tokenizer
+from ..data.transforms import ImageTransform
+from ..evaluation import retrieval as R
+from ..models.model_retrieval import XVLMForRetrieval
+from ..pruning.l0_module import XVLML0Module
+from ..train.steps import init_train_state, make_retrieval_train_step
+from ..utils import MetricLogger
+from ..utils.dist import get_rank, get_world_size
+from . import common
+
+
+def build_models(config: Config):
+    vcfg, tcfg = common.model_configs(config)
+    tv, tt = common.teacher_configs(config)
+    student = XVLMForRetrieval(vcfg, tcfg, config)
+    teacher = XVLMForRetrieval(tv, tt, config)
+    return student, teacher
+
+
+def build_l0(config: Config) -> XVLML0Module:
+    vcfg, tcfg = common.model_configs(config)
+    l0_cfg = config.get("L0_schedular", Config())
+    return XVLML0Module(
+        vision_layers=vcfg["num_hidden_layers"],
+        text_layers=tcfg["fusion_layer"],
+        cross_layers=tcfg["num_hidden_layers"] - tcfg["fusion_layer"],
+        hidden_size=tcfg["hidden_size"],
+        intermediate_size=tcfg["intermediate_size"],
+        num_heads=tcfg["num_attention_heads"],
+        vision_hidden_size=vcfg["vision_width"],
+        vision_intermediate_size=vcfg["intermediate_size"],
+        vision_num_heads=vcfg["num_attention_heads"],
+        droprate_init=float(l0_cfg.get("droprate_init", 0.5)),
+        temperature=float(l0_cfg.get("temperature", 2.0 / 3.0)),
+        target_sparsity=float(config.get("sparsity", 0.0)),
+    )
+
+
+def evaluate(model, params, eval_loader, eval_dataset, tokenizer, config: Config, *, zs=None, dtype=None):
+    """Two-stage eval (Eff_Retrieval.py:216-332) + itm_eval."""
+    texts = eval_dataset.text
+    tok = tokenizer(texts, padding="max_length", truncation=True,
+                    max_length=config.get("max_tokens", 40))
+    text_feats, text_embeds = R.encode_texts(
+        model, params, tok["input_ids"], tok["attention_mask"], zs=zs,
+        batch_size=config.get("batch_size_test_text", 64), dtype=dtype,
+    )
+    image_batches = (np.asarray(b[0]) for b in eval_loader)
+    image_feats, image_embeds = R.encode_images(model, params, image_batches, zs=zs, dtype=dtype)
+    score_i2t, score_t2i = R.retrieval_scores(
+        model, params, image_feats, image_embeds, text_feats,
+        np.asarray(tok["attention_mask"]), text_embeds,
+        zs=zs, k_test=config.get("k_test", 256),
+        rank=get_rank(), world_size=get_world_size(), dtype=dtype,
+    )
+    if get_world_size() > 1:
+        from jax.experimental import multihost_utils
+
+        score_i2t = np.asarray(multihost_utils.process_allgather(score_i2t)).sum(0)
+        score_t2i = np.asarray(multihost_utils.process_allgather(score_t2i)).sum(0)
+    return R.itm_eval(score_i2t, score_t2i, eval_dataset.txt2img, eval_dataset.img2txt)
+
+
+def main(args: Config, config: Config) -> dict:
+    info = common.setup(args, config)
+    tokenizer = build_tokenizer(config.get("text_encoder", ""))
+    image_res = config.get("image_res", 224)
+
+    train_ds = RetrievalTrainDataset(
+        config["train_file"], ImageTransform.train(image_res, seed=args.get("seed", 42)),
+        config.get("image_root", ""), max_words=config.get("max_tokens", 40),
+    )
+    bs = int(args.get("bs") or config.get("batch_size_train", 24))
+    train_loader = SimpleLoader(
+        train_ds, batch_size=bs, shuffle=True, drop_last=True,
+        rank=info["rank"], world_size=info["world_size"],
+    )
+    val_ds = RetrievalEvalDataset(
+        config["val_file"], ImageTransform.test(image_res), config.get("image_root", ""),
+    )
+    val_loader = SimpleLoader(val_ds, batch_size=config.get("batch_size_test", 24))
+    test_ds = RetrievalEvalDataset(
+        config["test_file"], ImageTransform.test(image_res), config.get("image_root", ""),
+    )
+    test_loader = SimpleLoader(test_ds, batch_size=config.get("batch_size_test", 24))
+
+    student, teacher = build_models(config)
+    sparams = common.maybe_load_params(student, args, config, lambda: student.init(jax.random.PRNGKey(0)))
+    teacher_args = Config({"checkpoint": args.get("teacher_chkpt")})
+    tparams = common.maybe_load_params(teacher, teacher_args, Config(), lambda: teacher.init(jax.random.PRNGKey(1)))
+
+    l0 = build_l0(config)
+    l0_params = l0.init(jax.random.PRNGKey(2))
+
+    epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 10))
+    steps_per_epoch = max(len(train_loader), 1)
+    total_steps = epochs * steps_per_epoch
+    l0.lagrangian_warmup = int(
+        float(config.get("L0_schedular", {}).get("lagrangian_warmup_epochs", 1)) * steps_per_epoch
+    )
+    optimizers = common.build_optimizers(sparams, config, total_steps)
+    state = init_train_state(sparams, l0_params, optimizers)
+
+    if args.get("evaluate"):
+        zs = l0.forward_deterministic({"loga": state.loga})
+        results = evaluate(student, state.params, test_loader, test_ds, tokenizer, config, zs=zs)
+        common.log_stats({"test": results}, args.get("output_dir", ""))
+        return results
+
+    step_fn = jax.jit(make_retrieval_train_step(
+        student, teacher, l0, optimizers, teacher_params=tparams,
+        temperature=float(args.get("temperature", 1.0)),
+    ))
+
+    best = 0.0
+    best_epoch = 0
+    rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger()
+        for images, captions, idx in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
+            tok = tokenizer(list(captions), padding="longest", truncation=True,
+                            max_length=config.get("max_tokens", 40))
+            batch = {
+                "image": jnp.asarray(images),
+                "text_ids": jnp.asarray(tok["input_ids"]),
+                "text_atts": jnp.asarray(tok["attention_mask"]),
+                "idx": jnp.asarray(idx),
+            }
+            rng, srng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, srng)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        logger.synchronize_between_processes()
+
+        zs = l0.forward_deterministic({"loga": state.loga})
+        val_results = evaluate(student, state.params, val_loader, val_ds, tokenizer, config, zs=zs)
+        sizes = l0.calculate_model_size(zs)
+        stats = {
+            "epoch": epoch,
+            **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()},
+            **{f"val_{k}": v for k, v in val_results.items()},
+            "sparsity": sizes["pruned_model_sparsity"],
+        }
+        common.log_stats(stats, args.get("output_dir", ""))
+        if val_results["r_mean"] >= best:
+            best, best_epoch = val_results["r_mean"], epoch
+            common.save_training_state(
+                args.get("output_dir", ""), "best",
+                {"model": state.params, "l0": {"loga": state.loga, **state.lam}, "epoch": epoch},
+            )
+    common.log_stats({"best_epoch": best_epoch, "best_r_mean": best}, args.get("output_dir", ""))
+    return {"best_epoch": best_epoch, "best_r_mean": best, "state": state}

@@ -1,0 +1,179 @@
+"""Eff_VQA driver: stage-2 VQA pruning fine-tune with decoder KD +
+answer-ranking evaluation (reference Eff_VQA.py)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.datasets import SimpleLoader, VQADataset, vqa_collate
+from ..data.tokenizer import build_tokenizer
+from ..data.transforms import ImageTransform
+from ..data.utils import collect_result
+from ..models.model_generation import XVLMForVQA
+from ..pruning.l0_module import VQAL0Module
+from ..train.steps import init_train_state, make_task_train_step, vqa_kd_losses
+from ..utils import MetricLogger
+from ..utils.dist import get_rank
+from . import common
+
+
+def build_models(config: Config):
+    vcfg, tcfg = common.model_configs(config)
+    tv, tt = common.teacher_configs(config)
+    cfg = Config(config)
+    cfg["num_dec_layers"] = config.get("num_dec_layers", tcfg["num_hidden_layers"] - tcfg["fusion_layer"])
+    tcfg_args = Config(config)
+    tcfg_args["num_dec_layers"] = config.get("teacher_num_dec_layers", tt["num_hidden_layers"] - tt["fusion_layer"])
+    student = XVLMForVQA(vcfg, tcfg, cfg)
+    teacher = XVLMForVQA(tv, tt, tcfg_args)
+    return student, teacher
+
+
+def build_l0(config: Config) -> VQAL0Module:
+    vcfg, tcfg = common.model_configs(config)
+    return VQAL0Module(
+        vision_layers=vcfg["num_hidden_layers"],
+        text_layers=tcfg["fusion_layer"],
+        cross_layers=tcfg["num_hidden_layers"] - tcfg["fusion_layer"],
+        hidden_size=tcfg["hidden_size"],
+        intermediate_size=tcfg["intermediate_size"],
+        num_heads=tcfg["num_attention_heads"],
+        vision_hidden_size=vcfg["vision_width"],
+        vision_intermediate_size=vcfg["intermediate_size"],
+        vision_num_heads=vcfg["num_attention_heads"],
+        target_sparsity=float(config.get("sparsity", 0.0)),
+    )
+
+
+def evaluation(model, params, loader, tokenizer, config: Config, *, zs=None, dtype=None):
+    """Answer-ranking eval (Eff_VQA.py:217-240): rank the answer_list,
+    emit [{'question_id','answer'}]."""
+    answer_list = [a + "[SEP]" for a in loader.dataset.answer_list]
+    ans = tokenizer(answer_list, padding="longest", truncation=True, max_length=20)
+    k = min(int(config.get("k_test", 128)), len(answer_list))
+    results = []
+    fwd = jax.jit(lambda p, img, qi, qa: model.forward_eval(
+        p, img, qi, qa, jnp.asarray(ans["input_ids"]), jnp.asarray(ans["attention_mask"]),
+        k=k, zs=zs, dtype=dtype,
+    ))
+    for images, questions, qids in loader:
+        tok = tokenizer(list(questions), padding="max_length", truncation=True,
+                        max_length=config.get("max_tokens", 40))
+        topk_ids, topk_probs = fwd(
+            params, jnp.asarray(images), jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"])
+        )
+        best = np.asarray(topk_ids)[:, 0]
+        for qid, aid in zip(qids, best):
+            results.append({"question_id": int(qid), "answer": loader.dataset.answer_list[int(aid)]})
+    return results
+
+
+def main(args: Config, config: Config) -> dict:
+    info = common.setup(args, config)
+    tokenizer = build_tokenizer(config.get("text_encoder", ""))
+    image_res = config.get("image_res", 480)
+
+    student, teacher = build_models(config)
+    sparams = common.maybe_load_params(student, args, config, lambda: student.init(jax.random.PRNGKey(0)))
+    tparams = common.maybe_load_params(
+        teacher, Config({"checkpoint": args.get("teacher_chkpt")}), Config(),
+        lambda: teacher.init(jax.random.PRNGKey(1)),
+    )
+    l0 = build_l0(config)
+    l0_params = l0.init(jax.random.PRNGKey(2))
+
+    test_ds = VQADataset(
+        config["test_file"], ImageTransform.test(image_res),
+        config.get("vqa_root", ""), config.get("vg_root", ""), split="test",
+        answer_list=config.get("answer_list", ""),
+    )
+    test_loader = SimpleLoader(
+        test_ds, batch_size=config.get("batch_size_test", 16),
+        rank=info["rank"], world_size=info["world_size"],
+    )
+
+    if args.get("evaluate"):
+        zs = l0.forward_deterministic({"loga": l0_params["loga"]})
+        results = evaluation(student, sparams, test_loader, tokenizer, config, zs=zs)
+        merged = collect_result(results, "vqa_result", args.get("output_dir", "/tmp"),
+                                rank=info["rank"], world_size=info["world_size"])
+        return {"results": merged}
+
+    train_ds = VQADataset(
+        config["train_file"], ImageTransform.train_wohflip(image_res, seed=args.get("seed", 42)),
+        config.get("vqa_root", ""), config.get("vg_root", ""), split="train",
+        seed=args.get("seed", 42),
+    )
+    bs = int(args.get("bs") or config.get("batch_size_train", 8))
+    train_loader = SimpleLoader(
+        train_ds, batch_size=bs, shuffle=True, drop_last=True,
+        rank=info["rank"], world_size=info["world_size"], collate_fn=vqa_collate,
+    )
+    epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 10))
+    steps_per_epoch = max(len(train_loader), 1)
+    l0.lagrangian_warmup = int(
+        float(config.get("L0_schedular", {}).get("lagrangian_warmup_epochs", 1)) * steps_per_epoch
+    )
+    optimizers = common.build_optimizers(sparams, config, epochs * steps_per_epoch)
+    state = init_train_state(sparams, l0_params, optimizers)
+
+    fusion_s = student.text_cfg["fusion_layer"]
+    fusion_t = teacher.text_cfg["fusion_layer"]
+
+    def student_forward(params, zs, batch, rng):
+        return student.forward_train(
+            params, batch["image"], batch["q_ids"], batch["q_atts"],
+            batch["a_ids"], batch["a_atts"], batch["weights"], batch["k_index"],
+            zs=zs, rng=rng, output_attentions=True, output_hidden_states=True, train=True,
+        )
+
+    def teacher_forward(params, batch, rng):
+        return teacher.forward_train(
+            params, batch["image"], batch["q_ids"], batch["q_atts"],
+            batch["a_ids"], batch["a_atts"], batch["weights"], batch["k_index"],
+            rng=rng, output_attentions=True, output_hidden_states=True, train=False,
+        )
+
+    stop_prune_epoch = args.get("stop_prune_epoch")
+    step_fn = jax.jit(make_task_train_step(
+        student_forward, teacher_forward,
+        lambda s, t: vqa_kd_losses(s, t, fusion_layer_s=fusion_s, fusion_layer_t=fusion_t,
+                                   temperature=float(args.get("temperature", 1.0))),
+        l0, optimizers, teacher_params=tparams,
+        task_weight=0.6, kd_weight=0.4,
+        stop_prune_step=(int(stop_prune_epoch) * steps_per_epoch) if stop_prune_epoch else None,
+    ))
+
+    rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger()
+        for images, questions, answers, weights, k_index in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
+            q = tokenizer(list(questions), padding="max_length", truncation=True,
+                          max_length=config.get("max_tokens", 40))
+            a = tokenizer(list(answers), padding="max_length", truncation=True, max_length=20)
+            batch = {
+                "image": jnp.asarray(images),
+                "q_ids": jnp.asarray(q["input_ids"]), "q_atts": jnp.asarray(q["attention_mask"]),
+                "a_ids": jnp.asarray(a["input_ids"]), "a_atts": jnp.asarray(a["attention_mask"]),
+                "weights": jnp.asarray(weights), "k_index": jnp.asarray(k_index),
+            }
+            rng, srng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, srng)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        logger.synchronize_between_processes()
+        common.log_stats(
+            {"epoch": epoch, **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},
+            args.get("output_dir", ""),
+        )
+        common.save_training_state(
+            args.get("output_dir", ""), epoch,
+            {"model": state.params, "l0": {"loga": state.loga, **state.lam}, "epoch": epoch},
+        )
+    return {"state": state}

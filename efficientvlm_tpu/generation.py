@@ -1,0 +1,241 @@
+"""Jittable autoregressive generation: greedy / sampling / beam search.
+
+TPU-first redesign of the reference's decode paths — HF `generate` beam
+search and OSCAR `_generate_no_beam_search` (reference
+models/model_generation.py:184-227, xbert.py:1380-1498) run a Python loop
+per token on the host; here the whole decode is ONE compiled XLA program:
+
+- fixed max_length `lax.fori_loop` over a fixed-size functional KV cache
+- beam reorder = batched gather on the cache
+- min_length EOS masking, repetition penalty, top-p filtering as in HF
+- gates (zs) thread through every step
+
+The decoder is abstracted as `decode_fn(tokens, cache, offset) ->
+(logits, cache)` so the same machinery serves the captioning decoder
+(full fusion stack) and the VQA answer decoder (cross-into-question stack).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import TextConfig
+from .models import bert as B
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def make_bert_decode_fn(
+    params: dict,
+    cfg: TextConfig,
+    *,
+    encoder_hidden: Array,
+    encoder_atts: Array,
+    text_head_z=None,
+    cross_head_z=None,
+    text_mlp_z=None,
+    cross_mlp_z=None,
+    dtype=None,
+    impl: str = "xla",
+) -> Callable:
+    """decode_fn over a BertLMHeadModel-equivalent (is_decoder, multi_modal,
+    cross-attending into encoder_hidden)."""
+
+    def decode_fn(tokens: Array, cache: list, offset) -> Tuple[Array, list]:
+        out = B.bert_apply(
+            params, tokens, cfg,
+            encoder_hidden=encoder_hidden, encoder_attention_mask=encoder_atts,
+            mode="multi_modal", is_decoder=True, cache=cache,
+            position_offset=offset,
+            text_head_z=text_head_z, cross_head_z=cross_head_z,
+            text_mlp_z=text_mlp_z, cross_mlp_z=cross_mlp_z,
+            dtype=dtype, impl=impl,
+        )
+        logits = B.mlm_head_apply(params["cls"], out["last_hidden"], cfg, dtype=dtype)
+        return logits.astype(jnp.float32), out["cache"]
+
+    return decode_fn
+
+
+def apply_repetition_penalty(logits: Array, tokens: Array, valid: Array, penalty: float) -> Array:
+    """HF semantics: for tokens already generated, divide positive logits by
+    `penalty`, multiply negative ones."""
+    if penalty == 1.0:
+        return logits
+    vocab = logits.shape[-1]
+    onehot = jax.nn.one_hot(tokens, vocab, dtype=jnp.float32) * valid[..., None]
+    seen = jnp.clip(onehot.sum(axis=-2), 0, 1)  # [B, V]
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen > 0, penalized, logits)
+
+
+def top_p_filter(logits: Array, top_p: float) -> Array:
+    if top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)  # keep one past
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    return jnp.where(logits < cutoff, NEG_INF, logits)
+
+
+def generate_no_beam(
+    decode_fn: Callable,
+    init_cache: list,
+    prompt_ids: Array,
+    *,
+    max_length: int,
+    eos_id: int,
+    pad_id: int,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    min_length: int = 0,
+    rng: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Greedy/sampling decode (OSCAR _generate_no_beam_search semantics).
+    Returns (tokens [B, max_length], sum_logprobs [B])."""
+    bsz, prompt_len = prompt_ids.shape
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    tokens = jnp.full((bsz, max_length), pad_id, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))
+
+    # prefill the prompt
+    logits, cache = decode_fn(prompt_ids, init_cache, 0)
+    next_logits = logits[:, -1]
+
+    class _S(NamedTuple):
+        tokens: Array
+        next_logits: Array
+        cache: list
+        finished: Array
+        sum_logprobs: Array
+        rng: Array
+
+    state = _S(tokens, next_logits, cache, jnp.zeros((bsz,), bool), jnp.zeros((bsz,)), rng)
+
+    def body(cur_len, s: _S) -> _S:
+        logits = s.next_logits / temperature
+        valid = (jnp.arange(max_length) < cur_len).astype(jnp.float32)[None, :]
+        logits = apply_repetition_penalty(logits, s.tokens, valid, repetition_penalty)
+        logits = jnp.where(cur_len < min_length, logits.at[:, eos_id].set(NEG_INF), logits)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if do_sample:
+            filtered = top_p_filter(logits, top_p)
+            rng, key = jax.random.split(s.rng)
+            next_tok = jax.random.categorical(key, filtered, axis=-1)
+        else:
+            rng = s.rng
+            next_tok = jnp.argmax(logits, axis=-1)
+        next_tok = jnp.where(s.finished, pad_id, next_tok).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, next_tok[:, None], axis=1)[:, 0]
+        sum_logprobs = s.sum_logprobs + jnp.where(s.finished, 0.0, tok_logp)
+        tokens = jax.lax.dynamic_update_slice(s.tokens, next_tok[:, None], (0, cur_len))
+        finished = s.finished | (next_tok == eos_id)
+        step_logits, cache = decode_fn(next_tok[:, None], s.cache, cur_len)
+        return _S(tokens, step_logits[:, -1], cache, finished, sum_logprobs, rng)
+
+    state = jax.lax.fori_loop(prompt_len, max_length, body, state)
+    return state.tokens, state.sum_logprobs
+
+
+def _gather_beams(tree, beam_idx: Array, bsz: int, beams: int):
+    """Reorder a [B*K, ...] pytree by per-batch beam indices [B, K]."""
+
+    def g(x):
+        if x.ndim == 0:  # scalars (e.g. cache index) are beam-invariant
+            return x
+        xr = x.reshape((bsz, beams) + x.shape[1:])
+        return jnp.take_along_axis(
+            xr, beam_idx.reshape((bsz, beams) + (1,) * (x.ndim - 1)), axis=1
+        ).reshape(x.shape)
+
+    return jax.tree.map(g, tree)
+
+
+def generate_beam(
+    decode_fn: Callable,
+    init_cache: list,
+    prompt_ids: Array,
+    *,
+    num_beams: int,
+    max_length: int,
+    eos_id: int,
+    pad_id: int,
+    min_length: int = 0,
+    repetition_penalty: float = 1.0,
+    length_penalty: float = 1.0,
+) -> Array:
+    """Beam search; prompt_ids [B, P] (NOT beam-expanded; the cache and
+    decode_fn closures must already operate on B*K rows — expand encoder
+    states with repeat before building decode_fn). Returns best tokens
+    [B, max_length]."""
+    bsz, prompt_len = prompt_ids.shape
+    flat = bsz * num_beams
+    prompt_flat = jnp.repeat(prompt_ids, num_beams, axis=0)
+
+    tokens = jnp.full((flat, max_length), pad_id, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_flat.astype(jnp.int32), (0, 0))
+
+    logits, cache = decode_fn(prompt_flat, init_cache, 0)
+    next_logits = logits[:, -1]
+
+    # beam scores: only beam 0 alive initially per batch
+    scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (num_beams - 1)), (bsz,))
+    finished = jnp.zeros((flat,), bool)
+
+    class _S(NamedTuple):
+        tokens: Array
+        next_logits: Array
+        cache: list
+        scores: Array
+        finished: Array
+
+    state = _S(tokens, next_logits, cache, scores, finished)
+    vocab = next_logits.shape[-1]
+
+    def body(cur_len, s: _S) -> _S:
+        logits = s.next_logits
+        valid = (jnp.arange(max_length) < cur_len).astype(jnp.float32)[None, :]
+        logits = apply_repetition_penalty(logits, s.tokens, valid, repetition_penalty)
+        logits = jnp.where(cur_len < min_length, logits.at[:, eos_id].set(NEG_INF), logits)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        # finished beams: only pad continues, score unchanged
+        pad_only = jnp.full((vocab,), NEG_INF).at[pad_id].set(0.0)
+        logp = jnp.where(s.finished[:, None], pad_only[None, :], logp)
+
+        cand = s.scores[:, None] + logp  # [B*K, V]
+        cand = cand.reshape(bsz, num_beams * vocab)
+        top_scores, top_idx = jax.lax.top_k(cand, num_beams)  # [B, K]
+        beam_idx = top_idx // vocab
+        tok_idx = (top_idx % vocab).astype(jnp.int32)
+
+        tokens = _gather_beams(s.tokens, beam_idx, bsz, num_beams)
+        cache = _gather_beams(s.cache, beam_idx, bsz, num_beams)
+        finished = _gather_beams(s.finished, beam_idx, bsz, num_beams)
+
+        next_tok = tok_idx.reshape(flat)
+        next_tok = jnp.where(finished, pad_id, next_tok)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, cur_len))
+        finished = finished | (next_tok == eos_id)
+        step_logits, cache = decode_fn(next_tok[:, None], cache, cur_len)
+        return _S(tokens, step_logits[:, -1], cache, top_scores.reshape(flat), finished)
+
+    state = jax.lax.fori_loop(prompt_len, max_length, body, state)
+
+    # pick the best beam per batch with HF length penalty on generated length
+    gen_len = (state.tokens != pad_id).sum(-1).astype(jnp.float32)
+    norm_scores = state.scores / jnp.power(gen_len, length_penalty)
+    norm = norm_scores.reshape(bsz, num_beams)
+    best = jnp.argmax(norm, axis=1)
+    toks = state.tokens.reshape(bsz, num_beams, max_length)
+    return jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0]

@@ -160,26 +160,28 @@ def bert_layer_apply(
     rngs = list(jax.random.split(rng, 6)) if rng is not None else [None] * 6
 
     new_cache = cache
+    self_probs = None
     self_cache = cache.get("self") if cache is not None else None
-    attn_out, self_probs, self_cache = multi_head_attention(
-        lp["attention"],
-        h,
-        num_heads=_num_heads(lp["attention"], head_dim),
-        bias=bias,
-        head_z=self_head_z,
-        output_probs=output_probs,
-        dropout_rate=adrop,
-        rng=rngs[0],
-        train=train,
-        dtype=dtype,
-        cache=self_cache,
-        impl=impl,
-    )
-    attn_out = dropout(attn_out, hdrop, rng=rngs[1], train=train)
-    h = layer_norm(lp["attention_ln"], h + attn_out, eps=eps)
+    if lp.get("attention") is not None:  # fully-pruned self-attn -> identity
+        attn_out, self_probs, self_cache = multi_head_attention(
+            lp["attention"],
+            h,
+            num_heads=_num_heads(lp["attention"], head_dim),
+            bias=bias,
+            head_z=self_head_z,
+            output_probs=output_probs,
+            dropout_rate=adrop,
+            rng=rngs[0],
+            train=train,
+            dtype=dtype,
+            cache=self_cache,
+            impl=impl,
+        )
+        attn_out = dropout(attn_out, hdrop, rng=rngs[1], train=train)
+        h = layer_norm(lp["attention_ln"], h + attn_out, eps=eps)
 
     cross_probs = None
-    if "crossattention" in lp and encoder_hidden is not None:
+    if lp.get("crossattention") is not None and encoder_hidden is not None:
         x_out, cross_probs, _ = multi_head_attention(
             lp["crossattention"],
             h,
@@ -197,12 +199,13 @@ def bert_layer_apply(
         x_out = dropout(x_out, hdrop, rng=rngs[3], train=train)
         h = layer_norm(lp["crossattention_ln"], h + x_out, eps=eps)
 
-    inter = act(dense(lp["intermediate"], h, dtype=dtype))
-    if mlp_z is not None:
-        inter = inter * mlp_z.astype(inter.dtype)
-    out = dense(lp["output"], inter, dtype=dtype)
-    out = dropout(out, hdrop, rng=rngs[4], train=train)
-    h = layer_norm(lp["output_ln"], h + out, eps=eps)
+    if lp.get("intermediate") is not None:  # fully-pruned FFN -> identity
+        inter = act(dense(lp["intermediate"], h, dtype=dtype))
+        if mlp_z is not None:
+            inter = inter * mlp_z.astype(inter.dtype)
+        out = dense(lp["output"], inter, dtype=dtype)
+        out = dropout(out, hdrop, rng=rngs[4], train=train)
+        h = layer_norm(lp["output_ln"], h + out, eps=eps)
 
     if cache is not None:
         new_cache = dict(cache)

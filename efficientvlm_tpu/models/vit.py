@@ -72,6 +72,8 @@ def init_vit(key: Array, cfg: VisionConfig) -> dict:
 
 
 def _num_heads(layer_params: dict, head_dim: int) -> int:
+    if layer_params.get("attn") is None:
+        return 0
     return layer_params["attn"]["q"]["kernel"].shape[1] // head_dim
 
 
@@ -92,31 +94,35 @@ def vit_layer(
     dtype=None,
     impl: str = "xla",
 ):
-    residual = h
-    x = layer_norm(lp["ln1"], h, eps=1e-5)
-    attn_out, probs, _ = multi_head_attention(
-        lp["attn"],
-        x,
-        num_heads=num_heads,
-        bias=bias,
-        head_z=head_z,
-        head_layer_z=head_layer_z,
-        output_probs=output_probs,
-        dropout_rate=dropout_rate,
-        rng=rng,
-        train=train,
-        dtype=dtype,
-        impl=impl,
-    )
-    h = residual + attn_out
+    probs = None
+    if lp.get("attn") is not None:  # fully-pruned attention -> identity
+        residual = h
+        x = layer_norm(lp["ln1"], h, eps=1e-5)
+        attn_out, probs, _ = multi_head_attention(
+            lp["attn"],
+            x,
+            num_heads=num_heads,
+            bias=bias,
+            head_z=head_z,
+            head_layer_z=head_layer_z,
+            output_probs=output_probs,
+            dropout_rate=dropout_rate,
+            rng=rng,
+            train=train,
+            dtype=dtype,
+            impl=impl,
+        )
+        h = residual + attn_out
 
-    residual = h
-    x = layer_norm(lp["ln2"], h, eps=1e-5)
-    x = act(dense(lp["mlp"]["fc1"], x, dtype=dtype))
-    if mlp_z is not None:  # mask FFN intermediate dims (eff_vit.py:216-217)
-        x = x * mlp_z.astype(x.dtype)
-    x = dense(lp["mlp"]["fc2"], x, dtype=dtype)
-    return residual + x, probs
+    if lp.get("mlp") is not None:  # fully-pruned FFN -> identity
+        residual = h
+        x = layer_norm(lp["ln2"], h, eps=1e-5)
+        x = act(dense(lp["mlp"]["fc1"], x, dtype=dtype))
+        if mlp_z is not None:  # mask FFN intermediate dims (eff_vit.py:216-217)
+            x = x * mlp_z.astype(x.dtype)
+        x = dense(lp["mlp"]["fc2"], x, dtype=dtype)
+        h = residual + x
+    return h, probs
 
 
 def vit_apply(

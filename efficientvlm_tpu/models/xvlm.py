@@ -302,15 +302,22 @@ class XVLM:
             "cross_attentions": out["cross_attentions"],
         }
 
-    def predict_bbox(self, params, image_embeds, text_embeds, text_atts, *, zs=None, dtype=None, impl="xla"):
-        """reference models/xvlm.py:566-584."""
+    def predict_bbox(
+        self, params, image_embeds, text_embeds, text_atts, *, zs=None,
+        output_attentions=False, output_hidden_states=False, dtype=None, impl="xla",
+    ):
+        """reference models/xvlm.py:566-584. Returns coord or (coord, extra)."""
         image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
         out = self.get_cross_embeds(
             params, image_embeds, image_atts, text_embeds=text_embeds,
-            text_atts=text_atts, zs=zs, dtype=dtype, impl=impl,
+            text_atts=text_atts, zs=zs, output_attentions=output_attentions,
+            output_hidden_states=output_hidden_states, dtype=dtype, impl=impl,
         )
         coord = mlp_head_apply(params["bbox_head"], out["last_hidden"][:, 0], dtype=dtype)
-        return jax.nn.sigmoid(coord.astype(jnp.float32))
+        coord = jax.nn.sigmoid(coord.astype(jnp.float32))
+        if not output_hidden_states:
+            return coord
+        return coord, out
 
     def get_bbox_loss(self, output_coord, target_bbox, *, is_image=None):
         """L1 + GIoU with degenerate-box guard (models/xvlm.py:587-612).

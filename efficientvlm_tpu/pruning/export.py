@@ -1,0 +1,203 @@
+"""Physical pruning export: fold learned gates into weights, then slice
+arrays to genuinely smaller static shapes so the pruned student compiles to
+a smaller XLA program.
+
+Reference semantics (utils/xvlm_utils.py):
+- update_params (:37-81): fold head gates into the VALUE projection
+  (per-head weight rows + bias) and FFN gates into the down-projection
+  (output.dense input columns);
+- prune_model_with_z (:85-226): drop zero-gate heads by slicing q/k/v
+  output dims + out-proj input dims (HF prune_linear_layer), and keep only
+  nonzero FFN dims by slicing fc1 rows / fc2 columns; fully-dead modules
+  are None'd (:228-244) and the layer skips them.
+
+Because our layers are unrolled (per-layer param dicts), per-layer differing
+head counts are true static shapes — no padding needed; apply functions infer
+head counts from kernel shapes and treat None sublayers as identity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _fold_head_gate(attn: dict, head_z: np.ndarray, head_dim: int) -> dict:
+    z = np.repeat(np.asarray(head_z, np.float32), head_dim)
+    v = dict(attn["v"])
+    v["kernel"] = attn["v"]["kernel"] * z[None, :]
+    if "bias" in v:
+        v["bias"] = attn["v"]["bias"] * z
+    out = dict(attn)
+    out["v"] = v
+    return out
+
+
+def _slice_heads(attn: dict, head_z: np.ndarray, head_dim: int) -> Optional[dict]:
+    keep = np.nonzero(np.asarray(head_z) > 0)[0]
+    if keep.size == 0:
+        return None
+    cols = np.concatenate([np.arange(h * head_dim, (h + 1) * head_dim) for h in keep])
+    new = {}
+    for name in ("q", "k", "v"):
+        p = {"kernel": jnp.asarray(np.asarray(attn[name]["kernel"])[:, cols])}
+        if "bias" in attn[name]:
+            p["bias"] = jnp.asarray(np.asarray(attn[name]["bias"])[cols])
+        new[name] = p
+    o = {"kernel": jnp.asarray(np.asarray(attn["out"]["kernel"])[cols, :])}
+    if "bias" in attn["out"]:
+        o["bias"] = attn["out"]["bias"]
+    new["out"] = o
+    return new
+
+
+def _fold_mlp_gate(fc2: dict, mlp_z: np.ndarray) -> dict:
+    out = dict(fc2)
+    out["kernel"] = fc2["kernel"] * np.asarray(mlp_z, np.float32)[:, None]
+    return out
+
+
+def _slice_mlp(fc1: dict, fc2: dict, mlp_z: np.ndarray):
+    keep = np.nonzero(np.asarray(mlp_z) > 0)[0]
+    if keep.size == 0:
+        return None, None
+    nfc1 = {"kernel": jnp.asarray(np.asarray(fc1["kernel"])[:, keep])}
+    if "bias" in fc1:
+        nfc1["bias"] = jnp.asarray(np.asarray(fc1["bias"])[keep])
+    nfc2 = {"kernel": jnp.asarray(np.asarray(fc2["kernel"])[keep, :])}
+    if "bias" in fc2:
+        nfc2["bias"] = fc2["bias"]
+    return nfc1, nfc2
+
+
+def prune_vit_params(params: dict, zs: dict, *, head_dim: int = 64) -> dict:
+    """Slice the vision tower by vision_head_z [L,H] / vision_intermediate_z
+    [L,I] (binary). Gate values folded first, so non-binary zs also export
+    correctly (reference update_params then prune)."""
+    head_z = zs.get("vision_head_z")
+    mlp_z = zs.get("vision_intermediate_z")
+    new = dict(params)
+    layers = []
+    for i, lp in enumerate(params["layers"]):
+        lp = dict(lp)
+        if head_z is not None and lp.get("attn") is not None:
+            hz = np.asarray(head_z[i]).reshape(-1)
+            lp["attn"] = _fold_head_gate(lp["attn"], hz, head_dim)
+            lp["attn"] = _slice_heads(lp["attn"], hz, head_dim)
+        if mlp_z is not None and lp.get("mlp") is not None:
+            mz = np.asarray(mlp_z[i]).reshape(-1)
+            fc2 = _fold_mlp_gate(lp["mlp"]["fc2"], mz)
+            fc1, fc2 = _slice_mlp(lp["mlp"]["fc1"], fc2, mz)
+            lp["mlp"] = None if fc1 is None else {"fc1": fc1, "fc2": fc2}
+        layers.append(lp)
+    new["layers"] = layers
+    return new
+
+
+def prune_bert_params(
+    params: dict,
+    zs: dict,
+    *,
+    fusion_layer: int,
+    head_dim: int = 64,
+    text_key: str = "text",
+    decoder: bool = False,
+) -> dict:
+    """Slice a fusion-BERT stack. Layers [0, fusion) use text_head_z /
+    text_intermediate_z; layers [fusion, N) use cross_head_z [Lc,2,H]
+    (self, cross) / cross_intermediate_z. With decoder=True the decoder_*
+    gate groups drive a fusion_layer=0 stack (VQA answer decoder)."""
+    prefix = "decoder" if decoder else "cross"
+    text_head_z = zs.get("text_head_z")
+    text_mlp_z = zs.get("text_intermediate_z")
+    cross_head_z = zs.get(f"{prefix}_head_z")
+    cross_mlp_z = zs.get(f"{prefix}_intermediate_z")
+
+    new = dict(params)
+    layers = []
+    for i, lp in enumerate(params["layers"]):
+        lp = dict(lp)
+        is_cross = i >= fusion_layer
+        if is_cross:
+            ci = i - fusion_layer
+            shz = np.asarray(cross_head_z[ci][0]).reshape(-1) if cross_head_z is not None else None
+            xhz = np.asarray(cross_head_z[ci][1]).reshape(-1) if cross_head_z is not None else None
+            mz = np.asarray(cross_mlp_z[ci]).reshape(-1) if cross_mlp_z is not None else None
+        else:
+            shz = np.asarray(text_head_z[i]).reshape(-1) if text_head_z is not None else None
+            xhz = None
+            mz = np.asarray(text_mlp_z[i]).reshape(-1) if text_mlp_z is not None else None
+
+        if shz is not None and lp.get("attention") is not None:
+            lp["attention"] = _slice_heads(_fold_head_gate(lp["attention"], shz, head_dim), shz, head_dim)
+        if xhz is not None and lp.get("crossattention") is not None:
+            lp["crossattention"] = _slice_heads(
+                _fold_head_gate(lp["crossattention"], xhz, head_dim), xhz, head_dim
+            )
+        if mz is not None and lp.get("intermediate") is not None:
+            fc2 = _fold_mlp_gate(lp["output"], mz)
+            fc1, fc2 = _slice_mlp(lp["intermediate"], fc2, mz)
+            if fc1 is None:
+                lp["intermediate"] = None
+                lp["output"] = None
+            else:
+                lp["intermediate"], lp["output"] = fc1, fc2
+        layers.append(lp)
+    new["layers"] = layers
+    return new
+
+
+def prune_xvlm_params(params: dict, zs: dict, *, fusion_layer: int, head_dim: int = 64) -> dict:
+    """Full XVLM export: vision + text towers (retrieval/NLVR/pretrain)."""
+    new = dict(params)
+    if "vision" in params:
+        new["vision"] = prune_vit_params(params["vision"], zs, head_dim=head_dim)
+    if "text" in params:
+        new["text"] = prune_bert_params(params["text"], zs, fusion_layer=fusion_layer, head_dim=head_dim)
+    if "text_decoder" in params and "decoder_head_z" in zs:
+        new["text_decoder"] = prune_bert_params(
+            params["text_decoder"], zs, fusion_layer=0, head_dim=head_dim, decoder=True
+        )
+    elif "text_decoder" in params:
+        # captioning decoder shares the text/cross layout
+        new["text_decoder"] = prune_bert_params(
+            params["text_decoder"], zs, fusion_layer=fusion_layer, head_dim=head_dim
+        )
+    return new
+
+
+def load_zs_from_params(params: dict, *, num_heads: int, intermediate_size: int, head_dim: int = 64):
+    """Reconstruct binary gate masks from sliced weight shapes — which heads
+    survived cannot be recovered, only how many; used for size accounting
+    (reference load_zs / load_pruned_model, xvlm_utils.py:247-299)."""
+    def layer_mask(lp, key):
+        attn = lp.get(key)
+        n = 0 if attn is None else attn["q"]["kernel"].shape[1] // head_dim
+        m = np.zeros(num_heads)
+        m[:n] = 1
+        return m
+
+    def mlp_mask(lp, key="intermediate", kernel_axis=1):
+        mod = lp.get(key)
+        if mod is None:
+            return np.zeros(intermediate_size)
+        if key == "mlp":
+            n = mod["fc1"]["kernel"].shape[1]
+        else:
+            n = mod["kernel"].shape[kernel_axis]
+        m = np.zeros(intermediate_size)
+        m[:n] = 1
+        return m
+
+    zs = {}
+    if "vision" in params:
+        zs["vision_head_z"] = np.stack([layer_mask(l, "attn") for l in params["vision"]["layers"]])
+        zs["vision_intermediate_z"] = np.stack(
+            [mlp_mask(l, "mlp") for l in params["vision"]["layers"]]
+        )
+    return zs

@@ -190,14 +190,23 @@ def XVLML0Module(
     hidden_size: int = 768,
     intermediate_size: int = 3072,
     num_heads: int = 12,
+    vision_hidden_size: int | None = None,
+    vision_intermediate_size: int | None = None,
+    vision_num_heads: int | None = None,
     **kw,
 ) -> L0Module:
+    """The reference assumes both towers are 768/12/3072; the vision_*
+    overrides support differing tower geometries."""
+    v_hidden = vision_hidden_size or hidden_size
+    v_int = vision_intermediate_size or intermediate_size
+    v_heads = vision_num_heads or num_heads
     pph, ppi = _bert_sizes(hidden_size, intermediate_size, num_heads)
+    vpph, vppi = _bert_sizes(v_hidden, v_int, v_heads)
     groups = {
-        "vision_head": _head_group(vision_layers, num_heads, pph),
+        "vision_head": _head_group(vision_layers, v_heads, vpph),
         "text_head": _head_group(text_layers, num_heads, pph),
         "cross_head": {**_head_group(cross_layers * 2, num_heads, pph), "emit": _interleave_to_pairs},
-        "vision_intermediate": _int_group(vision_layers, intermediate_size, ppi),
+        "vision_intermediate": _int_group(vision_layers, v_int, vppi),
         "text_intermediate": _int_group(text_layers, intermediate_size, ppi),
         "cross_intermediate": _int_group(cross_layers, intermediate_size, ppi),
     }
@@ -213,21 +222,63 @@ def VQAL0Module(
     hidden_size: int = 768,
     intermediate_size: int = 3072,
     num_heads: int = 12,
+    vision_hidden_size: int | None = None,
+    vision_intermediate_size: int | None = None,
+    vision_num_heads: int | None = None,
     **kw,
 ) -> L0Module:
     """VQA variant: + decoder gate groups; decoder layer count = cross count
     (generation_l0_module.py:47)."""
     decoder_layers = decoder_layers if decoder_layers is not None else cross_layers
     pph, ppi = _bert_sizes(hidden_size, intermediate_size, num_heads)
+    vpph, vppi = _bert_sizes(
+        vision_hidden_size or hidden_size,
+        vision_intermediate_size or intermediate_size,
+        vision_num_heads or num_heads,
+    )
     groups = {
-        "vision_head": _head_group(vision_layers, num_heads, pph),
+        "vision_head": _head_group(vision_layers, vision_num_heads or num_heads, vpph),
         "text_head": _head_group(text_layers, num_heads, pph),
         "cross_head": {**_head_group(cross_layers * 2, num_heads, pph), "emit": _interleave_to_pairs},
         "decoder_head": {**_head_group(decoder_layers * 2, num_heads, pph), "emit": _interleave_to_pairs},
-        "vision_intermediate": _int_group(vision_layers, intermediate_size, ppi),
+        "vision_intermediate": _int_group(vision_layers, vision_intermediate_size or intermediate_size, vppi),
         "text_intermediate": _int_group(text_layers, intermediate_size, ppi),
         "cross_intermediate": _int_group(cross_layers, intermediate_size, ppi),
         "decoder_intermediate": _int_group(decoder_layers, intermediate_size, ppi),
+    }
+    return L0Module(groups, **kw)
+
+
+def _single_modal_module(num_layers: int, *, hidden_size=768, intermediate_size=3072,
+                         num_heads=12, prefix: str = "", with_head_layer: bool = False, **kw) -> L0Module:
+    pph, ppi = _bert_sizes(hidden_size, intermediate_size, num_heads)
+    p = f"{prefix}_" if prefix else ""
+    groups = {
+        f"{p}head": _head_group(num_layers, num_heads, pph),
+        f"{p}intermediate": _int_group(num_layers, intermediate_size, ppi),
+    }
+    if with_head_layer:
+        groups[f"{p}head_layer"] = dict(shape=(num_layers, 1), params_per_dim=pph * num_heads, init_mean=10.0)
+    return L0Module(groups, **kw)
+
+
+def VisionL0Module(num_layers: int, **kw) -> L0Module:
+    """Per-modality module (reference modal_l0_module.py VisionL0Module :13-365)."""
+    return _single_modal_module(num_layers, prefix="vision", **kw)
+
+
+def TextL0Module(num_layers: int, **kw) -> L0Module:
+    """reference modal_l0_module.py TextL0Module :722-1075."""
+    return _single_modal_module(num_layers, prefix="text", **kw)
+
+
+def CrossL0Module(num_layers: int, *, hidden_size=768, intermediate_size=3072, num_heads=12, **kw) -> L0Module:
+    """reference modal_l0_module.py CrossL0Module :367-720 (2x head rows for
+    self+cross attention per layer)."""
+    pph, ppi = _bert_sizes(hidden_size, intermediate_size, num_heads)
+    groups = {
+        "cross_head": {**_head_group(num_layers * 2, num_heads, pph), "emit": _interleave_to_pairs},
+        "cross_intermediate": _int_group(num_layers, intermediate_size, ppi),
     }
     return L0Module(groups, **kw)
 

@@ -1,0 +1,98 @@
+"""CLI launcher with reference task-name parity (reference run.py).
+
+Task router: gd_4m_small / pretrain_4m_small (general distillation),
+itr_coco (Eff_Retrieval), vqa_480 (Eff_VQA), nlvr / nlvr_domain (Eff_NLVR /
+NLVR domain pretrain), coco_captioning / coco_capt_domain (Eff_Captioning /
+captioning domain pretrain).
+
+Unlike the reference (which shells out to torch.distributed.launch,
+run.py:41-64), drivers run in-process: JAX uses all local chips from one
+process; multi-host runs launch this CLI once per host and
+jax.distributed.initialize() rendezvous via env vars (MASTER_ADDR/RANK/
+WORLD_SIZE or JAX_COORDINATOR_ADDRESS).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from efficientvlm_tpu.config import Config, load_task_config
+
+TASK_CONFIGS = {
+    "gd_4m_small": "configs/Pretrain_XVLM_small_4m.yaml",
+    "pretrain_4m_small": "configs/Pretrain_XVLM_small_4m.yaml",
+    "itr_coco": "configs/x-vlm-small-ft/Retrieval_coco.yaml",
+    "vqa_480": "configs/x-vlm-small-ft/VQA_480.yaml",
+    "nlvr": "configs/x-vlm-small-ft/NLVR.yaml",
+    "nlvr_domain": "configs/x-vlm-small-ft/NLVR_pretrain_O1.yaml",
+    "coco_captioning": "configs/x-vlm-small-ft/Captioning.yaml",
+    "coco_capt_domain": "configs/x-vlm-small-ft/Captioning_pretrain_O1.yaml",
+}
+
+
+def run(args: Config, config: Config):
+    task = args["task"]
+    if task in ("gd_4m_small", "pretrain_4m_small"):
+        from efficientvlm_tpu.drivers import gd
+
+        return gd.main(args, config)
+    if task == "itr_coco":
+        from efficientvlm_tpu.drivers import retrieval
+
+        return retrieval.main(args, config)
+    if task == "vqa_480":
+        from efficientvlm_tpu.drivers import vqa
+
+        return vqa.main(args, config)
+    if task in ("nlvr", "nlvr_domain"):
+        from efficientvlm_tpu.drivers import nlvr
+
+        return nlvr.main(args, config)
+    if task in ("coco_captioning", "coco_capt_domain"):
+        from efficientvlm_tpu.drivers import captioning
+
+        return captioning.main(args, config)
+    raise ValueError(f"unknown task: {task}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--task", required=True, choices=sorted(TASK_CONFIGS))
+    parser.add_argument("--config", default="", type=str)
+    parser.add_argument("--output_dir", default="output", type=str)
+    parser.add_argument("--checkpoint", default="", type=str)
+    parser.add_argument("--teacher_chkpt", default="", type=str)
+    parser.add_argument("--bs", default=-1, type=int, help="global batch size")
+    parser.add_argument("--epoch", default=-1, type=int)
+    parser.add_argument("--seed", default=42, type=int)
+    parser.add_argument("--sparsity", default=None, type=float)
+    parser.add_argument("--temperature", default=1.0, type=float)
+    parser.add_argument("--stop_prune_epoch", default=None, type=int)
+    parser.add_argument("--evaluate", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--load_nlvr_pretrain", action="store_true")
+    parser.add_argument("--max_steps", default=None, type=int)
+    parsed = parser.parse_args(argv)
+
+    cfg_path = parsed.config or TASK_CONFIGS[parsed.task]
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isabs(cfg_path):
+        cfg_path = os.path.join(repo_root, cfg_path)
+    config = load_task_config(cfg_path, repo_root=repo_root)
+
+    # CLI overrides merged like the reference mains (Eff_Retrieval.py:388-403)
+    if parsed.bs > 0:
+        config["batch_size_train"] = parsed.bs
+    if parsed.epoch > 0:
+        config.setdefault("schedular", Config())["epochs"] = parsed.epoch
+    if parsed.sparsity is not None:
+        config["sparsity"] = parsed.sparsity
+
+    args = Config({k: v for k, v in vars(parsed).items() if v not in ("", -1, None, False)})
+    return run(args, config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""End-to-end driver smoke tests on synthetic data (1 epoch, tiny dims)."""
+
+import base64
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+
+
+def tiny_config(tmp_path, **extra):
+    cfg = Config.from_dict({
+        "vision": VisionConfig.create(
+            vision_width=32, num_attention_heads=4, intermediate_size=64,
+            num_hidden_layers=2, image_res=32, patch_size=8, local_attn_depth=1,
+        ),
+        "text": TextConfig.create(
+            vocab_size=200, hidden_size=32, num_hidden_layers=4, num_attention_heads=4,
+            intermediate_size=64, encoder_width=32, max_position_embeddings=48,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ),
+        "teacher_vision": VisionConfig.create(
+            vision_width=32, num_attention_heads=4, intermediate_size=64,
+            num_hidden_layers=4, image_res=32, patch_size=8,
+        ),
+        "teacher_text": TextConfig.create(
+            vocab_size=200, hidden_size=32, num_hidden_layers=4, num_attention_heads=4,
+            intermediate_size=64, encoder_width=32, max_position_embeddings=48,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ),
+        "image_res": 32,
+        "patch_size": 8,
+        "embed_dim": 16,
+        "temp": 0.07,
+        "max_tokens": 12,
+        "text_encoder": "",  # fallback WordPiece tokenizer
+        "batch_size_train": 4,
+        "batch_size_test": 4,
+        "batch_size_test_text": 8,
+        "k_test": 4,
+        "sparsity": 0.2,
+        "optimizer": {"lr": 1e-3, "reg_learning_rate": 0.05, "weight_decay": 0.01, "lr_mult": 1},
+        "schedular": {"epochs": 1, "num_warmup_steps": 0},
+        "L0_schedular": {"lagrangian_warmup_epochs": 1},
+    })
+    cfg.update(extra)
+    return cfg
+
+
+def write_images(dirpath, n):
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        Image.fromarray(np.uint8(rng.rand(40, 40, 3) * 255)).save(os.path.join(dirpath, f"{i}.jpg"))
+
+
+@pytest.fixture()
+def args(tmp_path):
+    return Config({"seed": 1, "output_dir": str(tmp_path / "out"), "epoch": 1})
+
+
+def test_retrieval_driver(tmp_path, args):
+    from efficientvlm_tpu.drivers import retrieval
+
+    img_root = str(tmp_path / "imgs")
+    write_images(img_root, 8)
+    train_ann = [{"image": f"{i}.jpg", "caption": f"a dog photo {i}", "image_id": f"im{i}"} for i in range(8)]
+    eval_ann = [{"image": f"{i}.jpg", "caption": [f"a dog {i}", f"photo {i}"]} for i in range(4)]
+    json.dump(train_ann, open(tmp_path / "train.json", "w"))
+    json.dump(eval_ann, open(tmp_path / "val.json", "w"))
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "train.json")],
+        val_file=str(tmp_path / "val.json"),
+        test_file=str(tmp_path / "val.json"),
+        image_root=img_root,
+    )
+    out = retrieval.main(args, cfg)
+    assert "best_r_mean" in out and 0 <= out["best_r_mean"] <= 100
+    assert os.path.exists(os.path.join(args["output_dir"], "log.txt"))
+
+
+def test_nlvr_driver(tmp_path, args):
+    from efficientvlm_tpu.drivers import nlvr
+
+    img_root = str(tmp_path / "imgs")
+    write_images(img_root, 8)
+    ann = [{"images": [f"{i}.jpg", f"{(i+1) % 8}.jpg"], "sentence": f"two images {i}",
+            "label": "True" if i % 2 else "False"} for i in range(8)]
+    json.dump(ann, open(tmp_path / "nlvr.json", "w"))
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "nlvr.json")],
+        val_file=str(tmp_path / "nlvr.json"),
+        test_file=str(tmp_path / "nlvr.json"),
+        image_root=img_root,
+    )
+    out = nlvr.main(args, cfg)
+    assert 0 <= out["best_acc"] <= 100
+
+
+def test_captioning_driver(tmp_path, args):
+    from efficientvlm_tpu.drivers import captioning
+
+    img_root = str(tmp_path / "imgs")
+    write_images(img_root, 8)
+    train_ann = [{"image": f"{i}.jpg", "caption": f"a dog in photo {i}", "image_id": f"im{i}"} for i in range(8)]
+    eval_ann = [{"image": f"COCO_val_00000{i}.jpg"} for i in range(4)]
+    # eval images must exist under image_root with those names
+    for i in range(4):
+        Image.fromarray(np.uint8(np.random.rand(40, 40, 3) * 255)).save(
+            os.path.join(img_root, f"COCO_val_00000{i}.jpg"))
+    json.dump(train_ann, open(tmp_path / "ct.json", "w"))
+    json.dump(eval_ann, open(tmp_path / "cv.json", "w"))
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "ct.json")],
+        val_file=str(tmp_path / "cv.json"),
+        image_root=img_root,
+        prompt="a picture of ",
+        label_smoothing=0.1,
+        num_beams=2,
+        max_length=8,
+        min_length=2,
+        max_tokens=12,
+    )
+    out = captioning.main(args, cfg)
+    assert "state" in out
+
+
+def test_vqa_driver(tmp_path, args):
+    from efficientvlm_tpu.drivers import vqa
+
+    img_root = str(tmp_path / "imgs")
+    write_images(img_root, 8)
+    train_ann = [{"image": f"{i}.jpg", "question": f"what is in photo {i}?",
+                  "answer": ["dog", "dog"], "question_id": i} for i in range(8)]
+    test_ann = [{"image": f"{i}.jpg", "question": f"what is this {i}?", "question_id": i}
+                for i in range(4)]
+    json.dump(train_ann, open(tmp_path / "vt.json", "w"))
+    json.dump(test_ann, open(tmp_path / "vv.json", "w"))
+    json.dump(["dog", "cat", "two", "red"], open(tmp_path / "ans.json", "w"))
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "vt.json")],
+        test_file=[str(tmp_path / "vv.json")],
+        answer_list=str(tmp_path / "ans.json"),
+        vqa_root=img_root,
+        num_dec_layers=2,
+        teacher_num_dec_layers=2,
+        k_test=2,
+    )
+    out = vqa.main(args, cfg)
+    assert "state" in out
+
+    # eval path
+    args2 = Config({**args, "evaluate": True, "output_dir": str(tmp_path / "out2")})
+    res = vqa.main(args2, cfg)
+    assert len(res["results"]) == 4
+    assert all("answer" in r for r in res["results"])
+
+
+def test_gd_driver(tmp_path, args):
+    from efficientvlm_tpu.drivers import gd
+
+    # tiny base64 pretrain stream
+    rows = []
+    rng = np.random.RandomState(0)
+    for i in range(12):
+        img = Image.fromarray(np.uint8(rng.rand(32, 32, 3) * 255))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        rows.append({"binary": base64.b64encode(buf.getvalue()).decode(),
+                     "caption": f"a photo of dog number {i}"})
+    os.makedirs(tmp_path / "pt", exist_ok=True)
+    with open(tmp_path / "pt" / "part0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "pt")],
+        train_file_regions=None,
+        train_dataset_size=12,
+        images={"image_key": "binary", "is_image_rpath": False, "caption_key": "caption",
+                "batch_size": 4},
+        max_words=12, max_masks=3, mask_prob=0.25,
+        ckpt_frequent_step=2,
+    )
+    args = Config({**args, "max_steps": 3})
+    out = gd.main(args, cfg)
+    assert int(out["state"][2]) == 3
+    # checkpoint written
+    assert os.path.exists(os.path.join(args["output_dir"], "training_state_latest.ckpt"))

@@ -1,0 +1,105 @@
+"""Physical pruning export: gated model == sliced model (exact equivalence)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientvlm_tpu.config import TextConfig, VisionConfig
+from efficientvlm_tpu.models import bert as B
+from efficientvlm_tpu.models import vit as V
+from efficientvlm_tpu.pruning.export import prune_bert_params, prune_vit_params
+
+HEAD_DIM = 16
+
+
+def _binary(rng, shape, keep_prob=0.7):
+    return (rng.random(shape) < keep_prob).astype(np.float32)
+
+
+def test_vit_export_equivalence():
+    cfg = VisionConfig.create(
+        vision_width=64, num_attention_heads=4, intermediate_size=96,
+        num_hidden_layers=3, image_res=16, patch_size=8,
+    )
+    params = V.init_vit(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    zs = {
+        "vision_head_z": _binary(rng, (3, 4)),
+        "vision_intermediate_z": _binary(rng, (3, 96)),
+    }
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    gated = V.vit_apply(
+        params, imgs, cfg,
+        head_z=jnp.asarray(zs["vision_head_z"]),
+        mlp_z=jnp.asarray(zs["vision_intermediate_z"]),
+    )["last_hidden"]
+
+    pruned = prune_vit_params(params, zs, head_dim=HEAD_DIM)
+    # genuinely smaller arrays
+    kept_heads = int(zs["vision_head_z"][0].sum())
+    assert pruned["layers"][0]["attn"]["q"]["kernel"].shape[1] == kept_heads * HEAD_DIM
+    kept_dims = int(zs["vision_intermediate_z"][1].sum())
+    assert pruned["layers"][1]["mlp"]["fc1"]["kernel"].shape[1] == kept_dims
+
+    sliced = V.vit_apply(pruned, imgs, cfg)["last_hidden"]
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(sliced), atol=1e-5)
+
+
+def test_bert_export_equivalence():
+    cfg = TextConfig.create(
+        vocab_size=60, hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=96, encoder_width=48, max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    params = B.init_bert(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    zs = {
+        "text_head_z": _binary(rng, (2, 4)),
+        "text_intermediate_z": _binary(rng, (2, 96)),
+        "cross_head_z": _binary(rng, (2, 2, 4)),
+        "cross_intermediate_z": _binary(rng, (2, 96)),
+    }
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 9), 0, 60)
+    atts = jnp.ones((2, 9), jnp.int32)
+    enc = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 48))
+    enc_atts = jnp.ones((2, 5), jnp.int32)
+
+    gated = B.bert_apply(
+        params, ids, cfg, attention_mask=atts,
+        encoder_hidden=enc, encoder_attention_mask=enc_atts,
+        text_head_z=jnp.asarray(zs["text_head_z"]),
+        cross_head_z=jnp.asarray(zs["cross_head_z"]),
+        text_mlp_z=jnp.asarray(zs["text_intermediate_z"]),
+        cross_mlp_z=jnp.asarray(zs["cross_intermediate_z"]),
+    )["last_hidden"]
+
+    pruned = prune_bert_params(params, zs, fusion_layer=2, head_dim=HEAD_DIM)
+    sliced = B.bert_apply(
+        pruned, ids, cfg, attention_mask=atts,
+        encoder_hidden=enc, encoder_attention_mask=enc_atts,
+    )["last_hidden"]
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(sliced), atol=1e-5)
+
+    # param count actually shrank
+    n_before = sum(x.size for x in jax.tree.leaves(params))
+    n_after = sum(x.size for x in jax.tree.leaves(pruned))
+    assert n_after < n_before
+
+
+def test_export_handles_dead_mlp():
+    cfg = VisionConfig.create(
+        vision_width=64, num_attention_heads=4, intermediate_size=32,
+        num_hidden_layers=2, image_res=16, patch_size=8,
+    )
+    params = V.init_vit(jax.random.PRNGKey(0), cfg)
+    zs = {
+        "vision_head_z": np.ones((2, 4), np.float32),
+        "vision_intermediate_z": np.concatenate(
+            [np.zeros((1, 32)), np.ones((1, 32))], 0
+        ).astype(np.float32),
+    }
+    pruned = prune_vit_params(params, zs, head_dim=HEAD_DIM)
+    assert pruned["layers"][0]["mlp"] is None
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    out = V.vit_apply(pruned, imgs, cfg)["last_hidden"]
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,73 @@
+"""Eval metric tests: BLEU/CIDEr/ROUGE sanity, VQA protocol, IoU."""
+
+import numpy as np
+
+from efficientvlm_tpu.evaluation.caption_metrics import (
+    CiderD,
+    bleu,
+    coco_caption_eval,
+    rouge_l,
+)
+from efficientvlm_tpu.evaluation.grounding import compute_iou_xywh, grounding_eval_bbox, nlvr_accuracy
+from efficientvlm_tpu.evaluation.vqa import normalize_answer, vqa_accuracy
+
+
+def test_bleu_perfect_and_zero():
+    gts = {1: ["a dog runs in the park"], 2: ["two cats sit on a mat"]}
+    res_perfect = {1: ["a dog runs in the park"], 2: ["two cats sit on a mat"]}
+    b = bleu(gts, res_perfect)
+    assert all(abs(x - 1.0) < 1e-9 for x in b)
+
+    res_bad = {1: ["zzz yyy xxx www vvv"], 2: ["qqq ppp ooo nnn mmm"]}
+    b = bleu(gts, res_bad)
+    assert b[3] < 0.01
+
+
+def test_cider_orders_by_quality():
+    subjects = ["man", "woman", "child", "dog"]
+    gts = {i: [f"a {s} riding a horse on the beach", f"a {s} rides a horse"]
+           for i, s in enumerate(subjects)}
+    good = {i: [f"a {s} riding a horse"] for i, s in enumerate(subjects)}
+    bad = {i: ["the refrigerator is blue"] for i in range(4)}
+    c_good, _ = CiderD().compute_score(gts, good)
+    c_bad, _ = CiderD().compute_score(gts, bad)
+    assert c_good > c_bad >= 0.0
+
+
+def test_rouge_and_coco_eval():
+    gts = {1: ["a dog in the park"]}
+    res = {1: ["a dog in the park"]}
+    assert abs(rouge_l(gts, res) - 1.0) < 1e-9
+
+    ann = [{"image_id": 1, "caption": "a dog in the park"},
+           {"image_id": 1, "caption": "the dog plays in a park"}]
+    results = [{"image_id": 1, "caption": "a dog in the park"}]
+    out = coco_caption_eval(ann, results)
+    assert out["Bleu_4"] > 0.9 and out["CIDEr"] >= 0
+
+
+def test_vqa_protocol():
+    assert normalize_answer("A Dog!") == "dog"
+    assert normalize_answer("two") == "2"
+    assert normalize_answer("isnt") == "isn't"
+    anns = {7: ["dog"] * 10, 8: ["dog"] * 8 + ["cat"] * 2}
+    res = [{"question_id": 8, "answer": "cat"}]
+    # leave-one-out: 8 annotators see 2 cat-matches (2/3), 2 see 1 (1/3)
+    acc = vqa_accuracy(res, anns)
+    assert abs(acc - 100 * (8 * 2 / 3 + 2 * 1 / 3) / 10) < 1e-6
+    assert vqa_accuracy([{"question_id": 7, "answer": "dog"}], anns) == 100.0
+
+    assert vqa_accuracy([{"question_id": 7, "answer": "fish"}], anns) == 0.0
+
+
+def test_iou_and_nlvr():
+    assert abs(compute_iou_xywh([0, 0, 10, 10], [0, 0, 10, 10]) - 1.0) < 1e-9
+    assert compute_iou_xywh([0, 0, 10, 10], [20, 20, 5, 5]) == 0.0
+
+    res = [{"ref_id": 1, "pred": [0.5, 0.5, 1.0, 1.0], "width": 100, "height": 100}]
+    out = grounding_eval_bbox(res, {1: [0, 0, 100, 100]}, {1: "val"})
+    assert out["val"] == 100.0
+
+    preds = np.asarray([[0.9, 0.1], [0.2, 0.8], [0.7, 0.3]])
+    targets = np.asarray([0, 1, 1])
+    assert abs(nlvr_accuracy(preds, targets) - 100 * 2 / 3) < 1e-6
