@@ -50,7 +50,10 @@ def retrieval_forward(model, params, image, text_ids, text_atts, impl="pallas", 
     return image_feat, text_feat, itm
 
 
-def bench_model(model, params, batch=32, image_res=384, iters=20, impl="pallas"):
+def bench_model(model, params, batch=32, image_res=384, iters=20, impl="xla"):
+    """impl: 'xla' wins for the full model at these shapes (XLA fuses the
+    qkv projections into attention); the pallas kernel wins on isolated
+    attention and masked/region paths."""
     image = jax.random.normal(jax.random.PRNGKey(1), (batch, image_res, image_res, 3), jnp.bfloat16)
     text_ids = jax.random.randint(jax.random.PRNGKey(2), (batch, 40), 0, 30522)
     text_atts = jnp.ones((batch, 40), jnp.int32)
@@ -72,6 +75,11 @@ def bench_model(model, params, batch=32, image_res=384, iters=20, impl="pallas")
 def main():
     student_model, student_params = build(6, 6)
     teacher_model, teacher_params = build(12, 12)
+    # bf16 param storage: halves HBM param traffic at inference
+    cast = lambda p: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p)
+    student_params = cast(student_params)
+    teacher_params = cast(teacher_params)
 
     student_tput = bench_model(student_model, student_params)
     teacher_tput = bench_model(teacher_model, teacher_params)

@@ -7,18 +7,22 @@ saving at X-VLM's sequence lengths (197..901 vision tokens, 40 text).
 Design: grid (B, H, Tq/BLOCK_Q); each program holds one query block and the
 FULL K/V for that (batch, head) in VMEM (Tk<=1024 at 480px: K+V ~= 0.5 MB in
 bf16 — comfortably inside the ~16 MB VMEM), computing the whole softmax row
-exactly (no online rescaling needed). Falls back to interpret mode off-TPU
-so tests exercise the same code path.
+exactly (no online rescaling needed). Mosaic keeps K/V resident across the
+fastest-varying q-block grid dim (their index map is q-invariant).
 
-Not used for cached decode (q_len==1 steps are bandwidth-trivial) or when
-attention probs are needed for KD (output_attentions path keeps the jnp
-implementation).
+Bias handling: padding masks are [B,Tk] VECTORS — materializing a padded
+[B,Tq,Tk] matrix costs ~50 MB of HBM traffic at B=32/T=640 and erases the
+fusion win, so the kernel takes a per-key vector bias and only falls back
+to a full matrix for genuinely 2-D masks (region local-attention).
+
+Falls back to interpret mode off-TPU so tests exercise the same code path.
+Not used for cached decode (q_len==1 steps) or when attention probs are
+needed for KD (output_attentions keeps the jnp implementation).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -28,23 +32,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-BLOCK_Q = 128
+BLOCK_Q = 256
 LANE = 128
+NEG = -1e9
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    q = q_ref[0, 0]  # [BQ, dh]
-    k = k_ref[0, 0]  # [Tk, dh]
-    v = v_ref[0, 0]  # [Tk, dh]
+def _kernel_vec(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """bias_ref: [1, Tk] additive vector (padding/key mask)."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, Tk]
-    if bias_ref is not None:
-        scores = scores + bias_ref[0].astype(jnp.float32)
+    )
+    scores = scores + bias_ref[0, 0].astype(jnp.float32)[None, :]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -54,50 +59,71 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _flash_attention_padded(q, k, v, bias, *, interpret: bool):
+def _kernel_mat(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """bias_ref: [1, BQ, Tk] full additive matrix."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores + bias_ref[0].astype(jnp.float32)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    probs = (e / s).astype(v.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "vector_bias"))
+def _flash_attention_padded(q, k, v, bias, *, vector_bias: bool, interpret: bool):
     b, h, tq, dh = q.shape
     tk = k.shape[2]
-    grid = (b, h, tq // BLOCK_Q)
+    block_q = min(BLOCK_Q, tq)
+    grid = (b, h, tq // block_q)
 
     in_specs = [
-        pl.BlockSpec((1, 1, BLOCK_Q, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
         pl.BlockSpec((1, 1, tk, dh), lambda bi, hi, qi: (bi, hi, 0, 0)),
         pl.BlockSpec((1, 1, tk, dh), lambda bi, hi, qi: (bi, hi, 0, 0)),
     ]
-    args = [q, k, v]
-    if bias is not None:
-        in_specs.append(pl.BlockSpec((1, BLOCK_Q, tk), lambda bi, hi, qi: (bi, qi, 0)))
-        args.append(bias)
-        kernel = _attn_kernel
+    if vector_bias:
+        in_specs.append(pl.BlockSpec((1, 1, tk), lambda bi, hi, qi: (bi, 0, 0)))
+        kernel = _kernel_vec
     else:
-        kernel = lambda qr, kr, vr, orf: _attn_kernel(qr, kr, vr, None, orf)
+        in_specs.append(pl.BlockSpec((1, block_q, tk), lambda bi, hi, qi: (bi, qi, 0)))
+        kernel = _kernel_mat
 
-    flops = 2 * b * h * tq * tk * dh * 2
+    flops = 4 * b * h * tq * tk * dh
+    bytes_acc = (q.size + k.size + v.size) * q.dtype.itemsize + q.size * q.dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, BLOCK_Q, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_specs=pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=q.size * 4 + k.size * 4 * 2, transcendentals=b * h * tq * tk
+            flops=flops, bytes_accessed=bytes_acc, transcendentals=b * h * tq * tk
         ),
         interpret=interpret,
-    )(*args)
+    )(q, k, v, bias)
 
 
 def flash_attention(
     q: Array, k: Array, v: Array, *, bias: Optional[Array] = None
 ) -> Array:
-    """q [B,H,Tq,dh] (already scaled), k/v [B,H,Tk,dh],
-    bias additive [B or 1, 1, Tq, Tk]. Returns [B,H,Tq,dh]."""
+    """q [B,H,Tq,dh] (already scaled), k/v [B,H,Tk,dh].
+    bias: additive, [B or 1, 1, 1, Tk] (padding vector — fast path) or
+    [B or 1, 1, Tq, Tk] (full matrix). Returns [B,H,Tq,dh]."""
     b, h, tq, dh = q.shape
     tk = k.shape[2]
-    tq_p = _round_up(max(tq, 8), BLOCK_Q)
+    block_q = min(BLOCK_Q, _round_up(max(tq, 8), 8))
+    tq_p = _round_up(max(tq, 8), min(block_q, BLOCK_Q))
     tk_p = _round_up(max(tk, 8), LANE)
 
     interpret = jax.devices()[0].platform != "tpu"
@@ -109,17 +135,17 @@ def flash_attention(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
 
-    bias3 = None
-    if bias is not None or pad_k:
+    vector_bias = bias is None or (bias.ndim == 4 and bias.shape[2] == 1)
+    if vector_bias:
         if bias is None:
-            bias3 = jnp.zeros((1, tq, tk), jnp.float32)
+            vb = jnp.zeros((b, tk), jnp.float32)
         else:
-            bias3 = jnp.broadcast_to(
-                bias.astype(jnp.float32), (bias.shape[0], max(bias.shape[1], 1), tq, tk)
-            )[:, 0]  # [B,Tq,Tk] (per-head biases unsupported on this path)
-        bias3 = jnp.pad(bias3, ((0, 0), (0, pad_q), (0, pad_k)), constant_values=-1e9)
-        if bias3.shape[0] == 1 and b > 1:
-            bias3 = jnp.broadcast_to(bias3, (b, tq_p, tk_p))
+            vb = jnp.broadcast_to(bias[:, 0, 0, :].astype(jnp.float32), (b, tk))
+        vb = jnp.pad(vb, ((0, 0), (0, pad_k)), constant_values=NEG)
+        bias_arg = vb[:, None, :]
+    else:
+        mb = jnp.broadcast_to(bias[:, 0].astype(jnp.float32), (b, tq, tk))
+        bias_arg = jnp.pad(mb, ((0, 0), (0, pad_q), (0, pad_k)), constant_values=NEG)
 
-    out = _flash_attention_padded(q, k, v, bias3, interpret=interpret)
-    return out[:, :, :tq]
+    out = _flash_attention_padded(q, k, v, bias_arg, vector_bias=vector_bias, interpret=interpret)
+    return out[:, :, :tq] if pad_q else out

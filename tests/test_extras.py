@@ -1,0 +1,101 @@
+"""Tests for alt encoders, grounding, NLVR pretrain, SCST, io shims."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+from efficientvlm_tpu.models.deit import deit_apply, init_deit
+from efficientvlm_tpu.models.swin import init_swin, swin_apply, swin_config
+from efficientvlm_tpu.models.model_grounding import XVLMForGrounding
+from efficientvlm_tpu.models.model_nlvr import XVLMForNLVRPretraining
+from efficientvlm_tpu.train.scst import ScstRewardCriterion
+from efficientvlm_tpu.utils.io import hcopy, hexists, hlist_files, hmkdir, hopen
+
+
+def _cfgs():
+    vcfg = VisionConfig.create(
+        vision_width=32, num_attention_heads=4, intermediate_size=64,
+        num_hidden_layers=2, image_res=16, patch_size=8,
+    )
+    tcfg = TextConfig.create(
+        vocab_size=50, hidden_size=32, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, encoder_width=32, max_position_embeddings=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    return vcfg, tcfg
+
+
+def test_deit_and_swin_forward():
+    vcfg, _ = _cfgs()
+    p = init_deit(jax.random.PRNGKey(0), vcfg)
+    out = deit_apply(p, jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)), vcfg,
+                     output_attentions=True, output_hidden_states=True)
+    assert out["last_hidden"].shape == (2, 5, 32)
+    assert len(out["attentions"]) == 2
+
+    # 56/4 = 14 grid -> stage0 (7-windows, incl. shifted) -> merge -> 7 grid
+    scfg = swin_config(image_res=56, patch_size=4, embed_dim=16, depths=(2, 1),
+                       num_heads=(2, 4), window_size=7)
+    sp = init_swin(jax.random.PRNGKey(2), scfg)
+    sout = swin_apply(sp, jax.random.normal(jax.random.PRNGKey(3), (2, 56, 56, 3)), scfg)
+    assert sout["last_hidden"].shape == (2, 1 + 49, scfg["vision_width"])
+    assert np.isfinite(np.asarray(sout["last_hidden"])).all()
+
+
+def test_grounding_model():
+    vcfg, tcfg = _cfgs()
+    model = XVLMForGrounding(vcfg, tcfg, Config({"embed_dim": 16}))
+    params = model.init(jax.random.PRNGKey(0), with_bbox_head=True)
+    image = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 50)
+    atts = jnp.ones((2, 8), jnp.int32)
+    target = jnp.asarray([[0.5, 0.5, 0.4, 0.4], [0.3, 0.3, 0.2, 0.2]])
+    lb, lg = model.forward(params, image, ids, atts, target_bbox=target, train=True)
+    assert np.isfinite(float(lb)) and np.isfinite(float(lg))
+    coords = model.forward(params, image, ids, atts, train=False)
+    assert coords.shape == (2, 4)
+    assert (np.asarray(coords) >= 0).all() and (np.asarray(coords) <= 1).all()
+
+
+def test_nlvr_pretrain_model():
+    vcfg, tcfg = _cfgs()
+    model = XVLMForNLVRPretraining(vcfg, tcfg, Config({"embed_dim": 16}))
+    params = model.init(jax.random.PRNGKey(0))
+    assert "ta_head" in params and params["ta_head"]["kernel"].shape == (32, 3)
+    image = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (4, 8), 0, 50)
+    atts = jnp.ones((4, 8), jnp.int32)
+    loss = model.forward_pretrain(params, image, ids, atts, rng=jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    # ~ln(3) at init (3-way chance)
+    assert 0.5 < float(loss) < 2.5
+
+
+def test_scst_rewards():
+    crit = ScstRewardCriterion(sample_n=2)
+    gts = [["a dog runs fast", "the dog is running"], ["a red car parked", "the car is red"]]
+    sampled = ["a dog runs", "the refrigerator", "a red car", "something else"]
+    adv = crit.rewards(gts, sampled)
+    assert adv.shape == (4,)
+    # good sample beats bad sample within each pair
+    assert adv[0] > adv[1] and adv[2] > adv[3]
+    # leave-one-out baseline makes pairs sum to zero
+    np.testing.assert_allclose(adv[0] + adv[1], 0.0, atol=1e-5)
+
+    logp = jnp.asarray([-1.0, -2.0, -1.5, -0.5])
+    loss = crit.loss(adv, logp)
+    assert np.isfinite(float(loss))
+
+
+def test_io_shims(tmp_path):
+    p = tmp_path / "sub"
+    hmkdir(str(p))
+    assert hexists(str(p))
+    with hopen(str(p / "x.txt"), "w") as f:
+        f.write("hello\nworld\n")
+    with hopen(str(p / "x.txt"), "r") as f:
+        assert f.read().startswith("hello")
+    hcopy(str(p / "x.txt"), str(p / "y.txt"))
+    files = hlist_files([str(p)])
+    assert len(files) == 2
