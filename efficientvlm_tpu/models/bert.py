@@ -163,21 +163,36 @@ def bert_layer_apply(
     self_probs = None
     self_cache = cache.get("self") if cache is not None else None
     if lp.get("attention") is not None:  # fully-pruned self-attn -> identity
-        attn_out, self_probs, self_cache = multi_head_attention(
-            lp["attention"],
-            h,
-            num_heads=_num_heads(lp["attention"], head_dim),
-            bias=bias,
-            head_z=self_head_z,
-            output_probs=output_probs,
-            dropout_rate=adrop,
-            rng=rngs[0],
-            train=train,
-            dtype=dtype,
-            cache=self_cache,
-            impl=impl,
+        use_fused = (
+            impl == "fused" and not output_probs and cache is None
+            and not (train and (adrop > 0.0 or hdrop > 0.0))
+            and (bias is None or (bias.ndim == 4 and bias.shape[2] == 1))
         )
-        attn_out = dropout(attn_out, hdrop, rng=rngs[1], train=train)
+        if use_fused:
+            from ..ops.pallas_fused_mha import fused_self_attention
+
+            attn_out = fused_self_attention(
+                lp["attention"], h.astype(dtype) if dtype is not None else h,
+                num_heads=_num_heads(lp["attention"], head_dim),
+                key_bias=bias[:, 0, 0, :] if bias is not None else None,
+                head_z=self_head_z,
+            )
+        else:
+            attn_out, self_probs, self_cache = multi_head_attention(
+                lp["attention"],
+                h,
+                num_heads=_num_heads(lp["attention"], head_dim),
+                bias=bias,
+                head_z=self_head_z,
+                output_probs=output_probs,
+                dropout_rate=adrop,
+                rng=rngs[0],
+                train=train,
+                dtype=dtype,
+                cache=self_cache,
+                impl="xla" if impl == "fused" else impl,
+            )
+            attn_out = dropout(attn_out, hdrop, rng=rngs[1], train=train)
         h = layer_norm(lp["attention_ln"], h + attn_out, eps=eps)
 
     cross_probs = None

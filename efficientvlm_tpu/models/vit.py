@@ -98,20 +98,34 @@ def vit_layer(
     if lp.get("attn") is not None:  # fully-pruned attention -> identity
         residual = h
         x = layer_norm(lp["ln1"], h, eps=1e-5)
-        attn_out, probs, _ = multi_head_attention(
-            lp["attn"],
-            x,
-            num_heads=num_heads,
-            bias=bias,
-            head_z=head_z,
-            head_layer_z=head_layer_z,
-            output_probs=output_probs,
-            dropout_rate=dropout_rate,
-            rng=rng,
-            train=train,
-            dtype=dtype,
-            impl=impl,
+        use_fused = (
+            impl == "fused" and not output_probs and bias is None
+            and not (train and dropout_rate > 0.0)
         )
+        if use_fused:
+            from ..ops.pallas_fused_mha import fused_self_attention
+
+            attn_out = fused_self_attention(
+                lp["attn"], x.astype(dtype) if dtype is not None else x,
+                num_heads=num_heads, head_z=head_z,
+            )
+            if head_layer_z is not None:
+                attn_out = attn_out * jnp.asarray(head_layer_z, attn_out.dtype)
+        else:
+            attn_out, probs, _ = multi_head_attention(
+                lp["attn"],
+                x,
+                num_heads=num_heads,
+                bias=bias,
+                head_z=head_z,
+                head_layer_z=head_layer_z,
+                output_probs=output_probs,
+                dropout_rate=dropout_rate,
+                rng=rng,
+                train=train,
+                dtype=dtype,
+                impl="xla" if impl == "fused" else impl,
+            )
         h = residual + attn_out
 
     if lp.get("mlp") is not None:  # fully-pruned FFN -> identity

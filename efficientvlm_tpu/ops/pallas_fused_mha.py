@@ -1,0 +1,191 @@
+"""Fully-fused multi-head self-attention layer kernel:
+hidden -> QKV projections -> attention -> head gating -> out projection,
+all in one VMEM-resident Pallas program (the SURVEY §7 north-star
+"fused QKV+attention+gating" kernel).
+
+Motivation: the standalone attention kernel still round-trips q/k/v through
+HBM (3x 28 MB at B=32/T=577/D=768), which is why XLA's fused graph beats it
+in-model. This kernel reads the hidden states and weights ONCE per batch
+element and writes only the output:
+
+  per grid step (one batch element):
+    load hidden [T, D], Wq/Wk/Wv/Wout [D, D], biases     (~5.5 MB bf16)
+    for h in heads:                                      (fori, VMEM-resident)
+      q = hidden @ Wq[:, h] * scale; k = hidden @ Wk[:, h]; v = ...
+      probs = softmax(q k^T + key_bias)
+      ctx_h = (probs @ v) * head_z[h]
+      out += ctx_h @ Wout[h, :]
+    store out [T, D]
+
+VMEM high-water ~8 MB at T=640, D=768 — fits. Per-key padding/attention
+mask rides a [T] vector. Residual add / LayerNorm stay outside (XLA fuses
+elementwise into the kernel boundary cheaply).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+LANE = 128
+NEG = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fused_kernel(num_heads: int, head_dim: int, scale: float):
+    # Mosaic requires dynamic-slice starts that are provably multiples of
+    # the 128 lane width; head_dim=64 slices are not, so the loop walks
+    # lane-aligned GROUPS of heads and splits them with static slices.
+    heads_per_group = max(1, LANE // head_dim)
+    if num_heads % heads_per_group != 0:
+        heads_per_group = num_heads  # single group (static start 0)
+    group_width = heads_per_group * head_dim
+    num_groups = num_heads // heads_per_group
+
+    def kernel(h_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref, bv_ref,
+               bias_ref, gate_ref, o_ref, acc_ref):
+        hidden = h_ref[0]  # [T, D]
+        key_bias = bias_ref[0, 0].astype(jnp.float32)  # [T]
+
+        def group_body(gi, _):
+            # gi is a static Python int (unrolled loop) -> static slices,
+            # no Mosaic alignment proof needed for any head_dim
+            sl = pl.ds(gi * group_width, group_width)
+            qg = jax.lax.dot_general(
+                hidden, wq_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bq_ref[0, sl].astype(jnp.float32)
+            kg = jax.lax.dot_general(
+                hidden, wk_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bk_ref[0, sl].astype(jnp.float32)
+            vg = jax.lax.dot_general(
+                hidden, wv_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bv_ref[0, sl].astype(jnp.float32)
+            wog = wo_ref[sl, :]
+
+            ctx_parts = []
+            for s in range(heads_per_group):  # static sub-slices
+                q = qg[:, s * head_dim:(s + 1) * head_dim]
+                k = kg[:, s * head_dim:(s + 1) * head_dim]
+                v = vg[:, s * head_dim:(s + 1) * head_dim]
+                scores = jax.lax.dot_general(
+                    q * scale, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + key_bias[None, :]
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(hidden.dtype)
+                ctx = jax.lax.dot_general(
+                    probs, v.astype(hidden.dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gate = gate_ref[0, gi * heads_per_group + s]  # SMEM scalar
+                ctx_parts.append(ctx * gate)
+            ctx_g = jnp.concatenate(ctx_parts, axis=1)  # [T, group_width]
+            out_g = jax.lax.dot_general(
+                ctx_g.astype(hidden.dtype), wog, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:, :] = acc_ref[:, :] + out_g
+            return 0
+
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        for gi in range(num_groups):  # static unroll (<= 6 groups)
+            group_body(gi, 0)
+        o_ref[0] = acc_ref[:, :].astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _fused_mha_padded(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
+                      num_heads: int, interpret: bool):
+    b, t, d = hidden.shape
+    head_dim = d // num_heads
+    scale = head_dim ** -0.5
+    grid = (b,)
+    kernel = _fused_kernel(num_heads, head_dim, scale)
+    full = lambda *_: tuple(0 for _ in _)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((d, d), lambda bi: (0, 0)),
+            pl.BlockSpec((d, d), lambda bi: (0, 0)),
+            pl.BlockSpec((d, d), lambda bi: (0, 0)),
+            pl.BlockSpec((d, d), lambda bi: (0, 0)),
+            pl.BlockSpec((1, d), lambda bi: (0, 0)),
+            pl.BlockSpec((1, d), lambda bi: (0, 0)),
+            pl.BlockSpec((1, d), lambda bi: (0, 0)),
+            pl.BlockSpec((1, 1, t), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, num_heads), lambda bi: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, d), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(hidden.shape, hidden.dtype),
+        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * d * d * 4 + 4 * b * num_heads * t * t * head_dim,
+            bytes_accessed=(hidden.size * 2 + 4 * d * d) * hidden.dtype.itemsize,
+            transcendentals=b * num_heads * t * t,
+        ),
+        interpret=interpret,
+    )(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates)
+
+
+def fused_self_attention(
+    params: dict,
+    hidden: Array,
+    *,
+    num_heads: int,
+    mask: Optional[Array] = None,
+    key_bias: Optional[Array] = None,
+    head_z: Optional[Array] = None,
+) -> Array:
+    """Fused self-attention layer over attention params {'q','k','v','out'}
+    (each {'kernel','bias'}); hidden [B,T,D]; mask [B,T] (1=attend) or
+    key_bias [B,T] additive; head_z [num_heads] or None. Equivalent to
+    multi_head_attention(...)[0] for self-attention without dropout."""
+    b, t, d = hidden.shape
+    t_p = _round_up(max(t, 8), LANE)
+    pad_t = t_p - t
+    x = jnp.pad(hidden, ((0, 0), (0, pad_t), (0, 0))) if pad_t else hidden
+
+    if key_bias is not None:
+        kb = jnp.broadcast_to(key_bias.astype(jnp.float32), (b, t))
+    elif mask is None:
+        kb = jnp.zeros((b, t), jnp.float32)
+    else:
+        kb = (1.0 - mask.astype(jnp.float32)) * NEG
+    kb = jnp.pad(kb, ((0, 0), (0, pad_t)), constant_values=NEG)[:, None, :]
+
+    gates = (jnp.ones((num_heads,), jnp.float32) if head_z is None
+             else head_z.astype(jnp.float32)).reshape(1, num_heads)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    dt = x.dtype
+    out = _fused_mha_padded(
+        x,
+        params["q"]["kernel"].astype(dt), params["k"]["kernel"].astype(dt),
+        params["v"]["kernel"].astype(dt), params["out"]["kernel"].astype(dt),
+        params["q"]["bias"].reshape(1, -1), params["k"]["bias"].reshape(1, -1),
+        params["v"]["bias"].reshape(1, -1),
+        kb, gates, num_heads=num_heads, interpret=interpret,
+    )
+    out = out[:, :t] if pad_t else out
+    return out + params["out"]["bias"].astype(out.dtype)

@@ -1,0 +1,54 @@
+"""Fused QKV+attention+out-proj kernel: equivalence in interpret mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientvlm_tpu.config import TextConfig, VisionConfig
+from efficientvlm_tpu.models import bert as B
+from efficientvlm_tpu.models import vit as V
+from efficientvlm_tpu.ops.attention import init_attention, make_attention_bias, multi_head_attention
+from efficientvlm_tpu.ops.pallas_fused_mha import fused_self_attention
+
+
+def test_fused_matches_reference_with_mask_and_gates():
+    D, H = 128, 2  # head_dim 64 -> exercises the aligned group loop
+    params = init_attention(jax.random.PRNGKey(0), D, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 11, D)) * 0.05
+    mask = jnp.ones((2, 11), jnp.int32).at[1, 7:].set(0)
+    hz = jnp.asarray([1.0, 0.25])
+
+    ref, _, _ = multi_head_attention(
+        params, x, num_heads=H, bias=make_attention_bias(mask), head_z=hz
+    )
+    out = fused_self_attention(params, x, num_heads=H, mask=mask, head_z=hz)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=3e-5)
+
+
+def test_vit_impl_fused_equals_xla():
+    cfg = VisionConfig.create(
+        vision_width=64, num_attention_heads=1, intermediate_size=96,
+        num_hidden_layers=2, image_res=16, patch_size=8,
+    )
+    params = V.init_vit(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    a = V.vit_apply(params, imgs, cfg, impl="xla")["last_hidden"]
+    b = V.vit_apply(params, imgs, cfg, impl="fused")["last_hidden"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_bert_impl_fused_equals_xla():
+    cfg = TextConfig.create(
+        vocab_size=60, hidden_size=64, num_hidden_layers=2, num_attention_heads=1,
+        intermediate_size=96, encoder_width=48, max_position_embeddings=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    params = B.init_bert(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 9), 0, 60)
+    atts = jnp.ones((2, 9), jnp.int32).at[0, 6:].set(0)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 48))
+    enc_atts = jnp.ones((2, 5), jnp.int32)
+    kw = dict(attention_mask=atts, encoder_hidden=enc, encoder_attention_mask=enc_atts)
+    a = B.bert_apply(params, ids, cfg, impl="xla", **kw)["last_hidden"]
+    b = B.bert_apply(params, ids, cfg, impl="fused", **kw)["last_hidden"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
