@@ -13,6 +13,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.datasets import RetrievalEvalDataset, RetrievalTrainDataset, SimpleLoader
+from ..data.prefetch import ParallelMapLoader
 from ..data.tokenizer import build_tokenizer
 from ..data.transforms import ImageTransform
 from ..evaluation import retrieval as R
@@ -90,6 +91,9 @@ def main(args: Config, config: Config) -> dict:
         train_ds, batch_size=bs, shuffle=True, drop_last=True,
         rank=info["rank"], world_size=info["world_size"],
     )
+    num_workers = int(config.get("num_workers", 4))
+    if num_workers > 1:
+        train_loader = ParallelMapLoader(train_loader, num_workers=num_workers)
     val_ds = RetrievalEvalDataset(
         config["val_file"], ImageTransform.test(image_res), config.get("image_root", ""),
     )
@@ -122,9 +126,14 @@ def main(args: Config, config: Config) -> dict:
         common.log_stats({"test": results}, args.get("output_dir", ""))
         return results
 
+    import jax.numpy as _jnp
+
+    dtype = _jnp.bfloat16 if config.get("compute_dtype", "bf16") == "bf16" else None
+    impl = config.get("attn_impl", "fused")
     step_fn = jax.jit(make_retrieval_train_step(
         student, teacher, l0, optimizers, teacher_params=tparams,
         temperature=float(args.get("temperature", 1.0)),
+        dtype=dtype, impl=impl,
     ))
 
     best = 0.0

@@ -118,7 +118,8 @@ def multi_head_attention(
     dh = q.shape[-1]
     scale = 1.0 / math.sqrt(dh)
 
-    if impl == "pallas" and not output_probs and not (train and dropout_rate > 0.0):
+    if (impl == "pallas" and not output_probs and cache is None
+            and not (train and dropout_rate > 0.0)):
         from .pallas_attention import flash_attention
 
         ctx = flash_attention(q * scale, k, v, bias=bias)
