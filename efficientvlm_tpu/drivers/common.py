@@ -67,7 +67,12 @@ def teacher_configs(config: Config) -> Tuple[VisionConfig, TextConfig]:
     tt = config.get("teacher_text")
     if tt is None:
         tt = TextConfig.create(num_hidden_layers=12, encoder_width=tv["vision_width"])
-    return VisionConfig(tv), TextConfig(tt)
+    tv, tt = VisionConfig(tv), TextConfig(tt)
+    # teachers are dense and frozen: scan their uniform layer stacks to keep
+    # trace/compile time sane (12L unrolled KD graphs take ~25 min to build)
+    tv.setdefault("scan_layers", True)
+    tt.setdefault("scan_layers", True)
+    return tv, tt
 
 
 def build_optimizers(params, config: Config, total_steps: int, *, init_param_paths=()):

@@ -120,6 +120,21 @@ def main(args: Config, config: Config) -> dict:
     optimizers = common.build_optimizers(sparams, config, total_steps)
     state = init_train_state(sparams, l0_params, optimizers)
 
+    start_epoch = 0
+    if args.get("resume") and args.get("output_dir"):
+        from ..train.checkpoint import Checkpointer
+
+        latest = Checkpointer(args["output_dir"]).load_latest()
+        if latest is not None:
+            sparams = latest["model"]
+            l0_loaded = latest.get("l0", l0_params)
+            l0_params = {"loga": l0_loaded.get("loga", l0_params["loga"]),
+                         "lambda_1": l0_loaded.get("lambda_1", l0_params["lambda_1"]),
+                         "lambda_2": l0_loaded.get("lambda_2", l0_params["lambda_2"])}
+            start_epoch = int(latest.get("epoch", -1)) + 1
+            state = init_train_state(sparams, l0_params, optimizers)
+            print(f"### resumed from epoch {start_epoch}")
+
     if args.get("evaluate"):
         zs = l0.forward_deterministic({"loga": state.loga})
         results = evaluate(student, state.params, test_loader, test_ds, tokenizer, config, zs=zs)
@@ -139,7 +154,7 @@ def main(args: Config, config: Config) -> dict:
     best = 0.0
     best_epoch = 0
     rng = jax.random.PRNGKey(int(args.get("seed", 42)))
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
         for images, captions, idx in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):

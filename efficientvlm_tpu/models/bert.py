@@ -268,6 +268,89 @@ def bert_encoder_apply(
     else:
         raise ValueError(f"mode {mode} is not supported")
 
+    # lax.scan over uniform layer groups (cf. vit.py): text layers
+    # [lo, fusion) and cross layers [fusion, hi) each scan as a group.
+    # Gates/rngs ride as scan xs; unrolled path remains for caches and
+    # post-export models (per-layer shapes differ).
+    def _scannable(z, n, nd):
+        return z is None or (hasattr(z, "shape") and z.ndim == nd and z.shape[0] == n)
+
+    n_text = max(0, min(hi, fusion) - lo)
+    n_cross = max(0, hi - max(lo, fusion))
+    use_scan = (
+        cfg.get("scan_layers", False)
+        and cache is None
+        and _scannable(text_head_z, n_text, 2) and _scannable(text_mlp_z, n_text, 2)
+        and _scannable(cross_head_z, n_cross, 3) and _scannable(cross_mlp_z, n_cross, 2)
+    )
+    if use_scan:
+        all_hidden = [] if output_hidden_states else None
+        all_probs = [] if output_attentions else None
+        all_cross_probs = [] if output_attentions else None
+        grng = rng
+
+        def scan_group(h, layers, is_cross, head_zs, mlp_zs, grng):
+            n = len(layers)
+            xs = {"params": jax.tree.map(lambda *x: jnp.stack(x), *layers)}
+            if head_zs is not None:
+                xs["head_zs"] = jnp.asarray(head_zs)
+            if mlp_zs is not None:
+                xs["mlp_zs"] = jnp.asarray(mlp_zs)
+            if grng is not None:
+                xs["rng"] = jax.random.split(grng, n)
+
+            def body(carry, x):
+                hz = x.get("head_zs")
+                out, sp, cp, _ = bert_layer_apply(
+                    x["params"], carry, cfg, bias=bias,
+                    encoder_hidden=encoder_hidden if is_cross else None,
+                    encoder_bias=encoder_bias if is_cross else None,
+                    self_head_z=(hz[0] if is_cross else hz) if hz is not None else None,
+                    cross_head_z=(hz[1] if is_cross else None) if hz is not None else None,
+                    mlp_z=x.get("mlp_zs"),
+                    output_probs=output_attentions, train=train,
+                    rng=x.get("rng"), dtype=dtype, impl="xla",
+                )
+                ys = []
+                if output_hidden_states:
+                    ys.append(carry)
+                if output_attentions:
+                    ys.append(sp)
+                    if is_cross:
+                        ys.append(cp)
+                return out, tuple(ys)
+
+            h, ys = jax.lax.scan(body, h, xs)
+            yi = 0
+            if output_hidden_states:
+                all_hidden.extend(ys[yi][i] for i in range(n))
+                yi += 1
+            if output_attentions:
+                all_probs.extend(ys[yi][i] for i in range(n))
+                yi += 1
+                if is_cross:
+                    all_cross_probs.extend(ys[yi][i] for i in range(n))
+            return h
+
+        r1 = r2 = None
+        if grng is not None:
+            r1, r2 = jax.random.split(grng)
+        if n_text:
+            h = scan_group(h, params["layers"][lo:min(hi, fusion)], False,
+                           text_head_z, text_mlp_z, r1)
+        if n_cross:
+            h = scan_group(h, params["layers"][max(lo, fusion):hi], True,
+                           cross_head_z, cross_mlp_z, r2)
+        if output_hidden_states:
+            all_hidden.append(h)
+        return {
+            "last_hidden": h,
+            "hidden_states": all_hidden,
+            "attentions": all_probs,
+            "cross_attentions": all_cross_probs,
+            "cache": None,
+        }
+
     all_hidden = [] if output_hidden_states else None
     all_probs = [] if output_attentions else None
     all_cross_probs = [] if output_attentions else None

@@ -65,11 +65,14 @@ class XVLMForCaptioning:
         self.prompt_length = self.config.get("prompt_length", 2)  # '[CLS] a picture of'
 
     def init(self, key: Array) -> dict:
-        k1, k2 = jax.random.split(key)
-        return {
-            "vision": V.init_vit(k1, self.vision_cfg),
-            "text_decoder": B.init_bert(k2, self.text_cfg, with_mlm_head=True),
-        }
+        def _init(k):
+            k1, k2 = jax.random.split(k)
+            return {
+                "vision": V.init_vit(k1, self.vision_cfg),
+                "text_decoder": B.init_bert(k2, self.text_cfg, with_mlm_head=True),
+            }
+
+        return jax.jit(_init)(key)
 
     def encode_image(self, params, image, *, zs=None, output_attentions=False,
                      output_hidden_states=False, train=False, rng=None, dtype=None, impl="xla"):
@@ -186,12 +189,15 @@ class XVLMForVQA:
         )
 
     def init(self, key: Array) -> dict:
-        k1, k2, k3 = jax.random.split(key, 3)
-        return {
-            "vision": V.init_vit(k1, self.vision_cfg),
-            "text": B.init_bert(k2, self.text_cfg, with_mlm_head=False),
-            "text_decoder": B.init_bert(k3, self.decoder_cfg, with_mlm_head=True),
-        }
+        def _init(k):
+            k1, k2, k3 = jax.random.split(k, 3)
+            return {
+                "vision": V.init_vit(k1, self.vision_cfg),
+                "text": B.init_bert(k2, self.text_cfg, with_mlm_head=False),
+                "text_decoder": B.init_bert(k3, self.decoder_cfg, with_mlm_head=True),
+            }
+
+        return jax.jit(_init)(key)
 
     def encode_question(self, params, image, question_ids, question_atts, *, zs=None,
                         output_attentions=False, output_hidden_states=False, train=False,

@@ -49,12 +49,15 @@ class XVLMForNLVR(XVLM):
         self.num_cross_layers = text_cfg["num_hidden_layers"] - text_cfg["fusion_layer"]
 
     def init(self, key: Array, *, num_labels: int = 2) -> dict:
-        k1, k2, k3 = jax.random.split(key, 3)
-        return {
-            "vision": V.init_vit(k1, self.vision_cfg),
-            "text": B.init_bert(k2, self.text_cfg, with_mlm_head=False),
-            "cls_head": init_mlp_head(k3, self.text_cfg["hidden_size"], num_labels),
-        }
+        def _init(k):
+            k1, k2, k3 = jax.random.split(k, 3)
+            return {
+                "vision": V.init_vit(k1, self.vision_cfg),
+                "text": B.init_bert(k2, self.text_cfg, with_mlm_head=False),
+                "cls_head": init_mlp_head(k3, self.text_cfg["hidden_size"], num_labels),
+            }
+
+        return jax.jit(_init)(key)
 
     def _tie_cross_kv(self, params: dict) -> dict:
         """Route pair-second cross K/V reads to the pair-first layer."""

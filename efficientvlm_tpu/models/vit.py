@@ -191,6 +191,60 @@ def vit_apply(
         atts_blk = jnp.concatenate([image_atts.astype(jnp.float32), full_atts], axis=0)
         local_bias = make_attention_bias(atts_blk)
 
+    # lax.scan over uniform layers: shrinks the traced graph ~depth-x — the
+    # unrolled loop makes teacher+KD steps take minutes to trace at 12
+    # layers. Works gated too (gates/rngs ride as scan xs with a leading L
+    # dim). Unrolled path remains for region batches and post-export models
+    # (per-layer shapes differ).
+    def _scannable_gate(z):
+        return z is None or (hasattr(z, "shape") and z.ndim >= 1 and z.shape[0] == depth)
+
+    use_scan = (
+        cfg.get("scan_layers", False)
+        and idx_to_group_img is None and local_attn_depth == 0
+        and all(_scannable_gate(z) for z in (head_z, head_layer_z, mlp_z))
+    )
+    if use_scan:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+        nh = cfg["num_attention_heads"]
+        xs = {"params": stacked}
+        if head_z is not None:
+            xs["head_z"] = jnp.asarray(head_z)
+        if head_layer_z is not None:
+            xs["head_layer_z"] = jnp.asarray(head_layer_z)
+        if mlp_z is not None:
+            xs["mlp_z"] = jnp.asarray(mlp_z)
+        if rng is not None:
+            xs["rng"] = jax.random.split(rng, depth)
+
+        def body(carry, x):
+            out, probs = vit_layer(
+                x["params"], carry, num_heads=nh, act=act,
+                head_z=x.get("head_z"), head_layer_z=x.get("head_layer_z"),
+                mlp_z=x.get("mlp_z"),
+                output_probs=output_attentions,
+                dropout_rate=cfg.get("attention_dropout", 0.0),
+                rng=x.get("rng"), train=train, dtype=dtype, impl="xla",
+            )
+            ys = []
+            if output_hidden_states:
+                ys.append(carry)
+            if output_attentions:
+                ys.append(probs)
+            return out, tuple(ys)
+
+        h_final, ys = jax.lax.scan(body, h, xs)
+        yi = 0
+        all_hidden = None
+        all_probs = None
+        if output_hidden_states:
+            all_hidden = [ys[yi][i] for i in range(depth)] + [h_final]
+            yi += 1
+        if output_attentions:
+            all_probs = [ys[yi][i] for i in range(depth)]
+        h = layer_norm(params["post_ln"], h_final, eps=1e-5)
+        return {"last_hidden": h, "hidden_states": all_hidden, "attentions": all_probs}
+
     all_hidden = [] if output_hidden_states else None
     all_probs = [] if output_attentions else None
     do_gather = idx_to_group_img is not None

@@ -54,8 +54,8 @@ def mlp_head_apply(params: dict, x: Array, *, dtype=None) -> Array:
 
 def init_xvlm(
     key: Array,
-    vision_cfg: VisionConfig,
-    text_cfg: TextConfig,
+    vision_cfg: VisionConfig = None,
+    text_cfg: TextConfig = None,
     *,
     embed_dim: int = 256,
     temp: float = 0.07,
@@ -106,12 +106,16 @@ class XVLM:
         self.embed_dim = self.config.get("embed_dim", 256)
 
     def init(self, key: Array, **kw) -> dict:
-        return init_xvlm(
-            key, self.vision_cfg, self.text_cfg,
-            embed_dim=self.embed_dim,
-            temp=self.config.get("temp", 0.07),
-            **kw,
+        # jit the whole init: eager per-tensor PRNG dispatch takes minutes
+        # at production size (hundreds of tiny ops); one compiled program
+        # takes seconds.
+        import functools
+
+        fn = functools.partial(
+            init_xvlm, vision_cfg=self.vision_cfg, text_cfg=self.text_cfg,
+            embed_dim=self.embed_dim, temp=self.config.get("temp", 0.07), **kw,
         )
+        return jax.jit(fn)(key)
 
     # -- encoders -----------------------------------------------------------
 

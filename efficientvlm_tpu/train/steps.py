@@ -383,6 +383,81 @@ def make_task_train_step(
     return train_step
 
 
+def make_split_retrieval_train_step(
+    student_model,
+    teacher_model,
+    l0_module: L0Module,
+    optimizers,
+    *,
+    teacher_params,
+    temperature: float = 1.0,
+    dtype=None,
+    impl: str = "xla",
+):
+    """Two-program variant of the retrieval KD step: the teacher forward and
+    the student update compile as SEPARATE XLA programs (the monolithic
+    teacher+student+grads graph can exceed the compiler's memory at
+    production scale). Teacher outputs stay on-device between the calls.
+
+    Returns train_step(state, batch, rng) like make_retrieval_train_step;
+    internally two jits."""
+
+    @jax.jit
+    def teacher_fwd(batch, rng):
+        out = teacher_model.forward(
+            jax.lax.stop_gradient(teacher_params),
+            batch["image"], batch["text_ids"], batch["text_atts"],
+            idx=batch.get("idx"), zs=None, rng=rng,
+            output_attentions=True, output_hidden_states=True,
+            train=False, dtype=dtype, impl=impl,
+        )
+        # stop gradients & drop the loss dict (host scalars not needed)
+        return jax.tree.map(jax.lax.stop_gradient, {
+            "hidden_dict": out["hidden_dict"],
+            "attention_dict": out["attention_dict"],
+            "cross_attention_dict": out["cross_attention_dict"],
+            "logits_dict": out["logits_dict"],
+        })
+
+    def loss_fn(params, loga, lam, batch, teacher_outputs, rng, step):
+        zrng, srng = jax.random.split(rng)
+        zs = l0_module.forward_train({"loga": loga}, zrng)
+        student_outputs = student_model.forward(
+            params, batch["image"], batch["text_ids"], batch["text_atts"],
+            idx=batch.get("idx"), zs=zs, rng=srng,
+            output_attentions=True, output_hidden_states=True,
+            train=True, dtype=dtype, impl=impl,
+        )
+        kd = retrieval_kd_losses(student_outputs, teacher_outputs, temperature=temperature)
+        loss_itc = student_outputs["loss"]["loss_itc"]
+        loss_itm = student_outputs["loss"]["loss_itm"]
+        lagrangian_loss, expected_sparsity, target_sparsity = (
+            l0_module.lagrangian_regularization({"loga": loga, **lam}, step)
+        )
+        loss = (kd["loss_kd"] + loss_itc + loss_itm) * 0.5 + lagrangian_loss
+        metrics = {
+            "loss": loss, "loss_itc": loss_itc, "loss_itm": loss_itm,
+            "lagrangian_loss": lagrangian_loss,
+            "expected_sparsity": expected_sparsity,
+            "target_sparsity": target_sparsity, **kd,
+        }
+        return loss, metrics
+
+    @jax.jit
+    def student_update(state: TrainState, batch, teacher_outputs, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            state.params, state.loga, state.lam, batch, teacher_outputs, rng, state.step
+        )
+        return apply_updates_3way(state, grads, optimizers), metrics
+
+    def train_step(state: TrainState, batch: dict, rng: Array):
+        trng, srng = jax.random.split(rng)
+        teacher_outputs = teacher_fwd(batch, trng)
+        return student_update(state, batch, teacher_outputs, srng)
+
+    return train_step
+
+
 def make_retrieval_train_step(
     student_model,
     teacher_model,

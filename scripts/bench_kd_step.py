@@ -24,16 +24,18 @@ from efficientvlm_tpu.train.optim import (
     create_lagrangian_optimizer,
     create_optimizer,
 )
-from efficientvlm_tpu.train.steps import init_train_state, make_retrieval_train_step
+from efficientvlm_tpu.train.steps import init_train_state, make_split_retrieval_train_step
 
 
 def main(batch=32, image_res=224):
-    vcfg_s = VisionConfig.create(num_hidden_layers=6, image_res=image_res)
+    vcfg_s = VisionConfig.create(num_hidden_layers=6, image_res=image_res, scan_layers=True)
     tcfg_s = TextConfig.create(num_hidden_layers=6, fusion_layer=3, encoder_width=768,
-                               hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
-    vcfg_t = VisionConfig.create(num_hidden_layers=12, image_res=image_res)
+                               hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                               scan_layers=True)
+    vcfg_t = VisionConfig.create(num_hidden_layers=12, image_res=image_res, scan_layers=True)
     tcfg_t = TextConfig.create(num_hidden_layers=12, fusion_layer=6, encoder_width=768,
-                               hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+                               hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                               scan_layers=True)
     student = XVLMForRetrieval(vcfg_s, tcfg_s, Config({"embed_dim": 256}))
     teacher = XVLMForRetrieval(vcfg_t, tcfg_t, Config({"embed_dim": 256}))
     sparams = student.init(jax.random.PRNGKey(0))
@@ -47,9 +49,9 @@ def main(batch=32, image_res=224):
         create_lagrangian_optimizer(reg_lr=0.01),
     )
     state = init_train_state(sparams, l0_params, opts)
-    step_fn = jax.jit(make_retrieval_train_step(
+    step_fn = make_split_retrieval_train_step(
         student, teacher, l0, opts, teacher_params=tparams, dtype=jnp.bfloat16,
-    ))
+    )
     batch_data = {
         "image": jax.random.normal(jax.random.PRNGKey(3), (batch, image_res, image_res, 3), jnp.bfloat16),
         "text_ids": jax.random.randint(jax.random.PRNGKey(4), (batch, 40), 0, 30522),
