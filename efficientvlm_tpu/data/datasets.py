@@ -229,16 +229,25 @@ class VQADataset:
         return pixels, question, answers, weights
 
 
-def vqa_collate(samples):
+def vqa_collate(samples, *, pad_multiple: int = 8):
     """Flattens per-question answer lists; returns the static-shape gather
     index `k_index` mapping each answer row to its question (replacing the
-    reference's per-question replication loop, dataset/__init__.py:160-168)."""
+    reference's per-question replication loop, dataset/__init__.py:160-168).
+
+    The flattened answer count is padded up to a multiple of `pad_multiple`
+    with zero-weight copies of the first answer, so jitted train steps see
+    a small fixed set of shapes instead of recompiling per batch."""
     images, questions, answer_lists, weight_lists = zip(*samples)
     answers, weights, k_index = [], [], []
     for qi, (ans, ws) in enumerate(zip(answer_lists, weight_lists)):
         answers += ans
         weights += ws
         k_index += [qi] * len(ans)
+    if pad_multiple > 1:
+        pad = (-len(answers)) % pad_multiple
+        answers += [answers[0]] * pad
+        weights += [0.0] * pad
+        k_index += [0] * pad
     return (
         np.stack(images),
         list(questions),

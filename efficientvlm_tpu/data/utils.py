@@ -103,3 +103,26 @@ def collect_result(
         out = final
     _barrier()
     return out
+
+
+def collect_tensor_result(result, filename: str, local_wdir: str, *, rank=None, world_size=None):
+    """Per-rank array dump -> barrier -> rank-0 merge (reference
+    dataset/utils.py:143-164, torch.save replaced with npz)."""
+    import jax
+    import numpy as np
+
+    rank = rank if rank is not None else jax.process_index()
+    world_size = world_size if world_size is not None else jax.process_count()
+    os.makedirs(local_wdir, exist_ok=True)
+    np.savez(os.path.join(local_wdir, f"{filename}_rank{rank}.npz"),
+             *[np.asarray(r) for r in result])
+    _barrier()
+    if rank != 0:
+        _barrier()
+        return None
+    merged = []
+    for r in range(world_size):
+        with np.load(os.path.join(local_wdir, f"{filename}_rank{r}.npz")) as z:
+            merged.extend(z[k] for k in z.files)
+    _barrier()
+    return merged

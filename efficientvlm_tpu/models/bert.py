@@ -320,6 +320,8 @@ def bert_encoder_apply(
                         ys.append(cp)
                 return out, tuple(ys)
 
+            if cfg.get("remat", False):
+                body = jax.checkpoint(body)
             h, ys = jax.lax.scan(body, h, xs)
             yi = 0
             if output_hidden_states:

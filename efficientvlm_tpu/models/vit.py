@@ -233,6 +233,8 @@ def vit_apply(
                 ys.append(probs)
             return out, tuple(ys)
 
+        if cfg.get("remat", False):
+            body = jax.checkpoint(body)
         h_final, ys = jax.lax.scan(body, h, xs)
         yi = 0
         all_hidden = None
