@@ -138,9 +138,12 @@ def test_retrieval_and_vqa_datasets(tmp_path):
     vds = DS.VQADataset([str(tmp_path / "vqa.json")], ImageTransform.train_wohflip(32, seed=0), str(tmp_path / "imgs"), seed=0)
     images, questions, answers, weights, k_index = DS.vqa_collate([vds[0], vds[1]])
     assert images.shape == (2, 32, 32, 3)
-    assert len(answers) == 4  # 2 unique answers per question
-    np.testing.assert_array_equal(k_index, [0, 0, 1, 1])
-    np.testing.assert_allclose(weights, [2 / 3, 1 / 3, 2 / 3, 1 / 3])
+    # 2 unique answers per question, padded to a multiple of 8 with
+    # zero-weight rows (static jit shapes)
+    assert len(answers) == 8
+    np.testing.assert_array_equal(k_index[:4], [0, 0, 1, 1])
+    np.testing.assert_allclose(weights[:4], [2 / 3, 1 / 3, 2 / 3, 1 / 3])
+    assert weights[4:].sum() == 0
 
 
 def test_pretrain_stream(tmp_path):
