@@ -75,8 +75,23 @@ def main(args: Config, config: Config) -> dict:
     student, teacher = build_models(config)
     student.prompt_length = prompt_len
     teacher.prompt_length = prompt_len
-    sparams = common.maybe_load_params(student, Config(), Config(), lambda: student.init(jax.random.PRNGKey(0)))
-    tparams = common.maybe_load_params(teacher, Config(), Config(), lambda: teacher.init(jax.random.PRNGKey(1)))
+    def load_capt(model, ckpt_path):
+        import os as _os
+        from ..train import checkpoint as ckpt_io
+
+        if not (ckpt_path and _os.path.exists(ckpt_path)):
+            return None
+        sd = ckpt_io.load_torch_state_dict(ckpt_path)
+        return ckpt_io.captioning_params_from_state_dict(
+            sd, vision_layers=model.vision_cfg["num_hidden_layers"],
+            text_layers=model.text_cfg["num_hidden_layers"],
+            fusion_layer=model.text_cfg["fusion_layer"],
+            num_patches=model.vision_cfg.num_patches,
+            load_capt_pretrain=bool(args.get("load_capt_pretrain")),
+        )
+
+    sparams = load_capt(student, args.get("checkpoint")) or student.init(jax.random.PRNGKey(0))
+    tparams = load_capt(teacher, args.get("teacher_chkpt")) or teacher.init(jax.random.PRNGKey(1))
     l0 = build_l0(config)
     l0_params = l0.init(jax.random.PRNGKey(2))
 

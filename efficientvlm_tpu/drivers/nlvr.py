@@ -66,8 +66,27 @@ def main(args: Config, config: Config) -> dict:
     tform_test = ImageTransform.test(image_res)
 
     student, teacher = build_models(config)
-    sparams = common.maybe_load_params(student, Config(), Config(), lambda: student.init(jax.random.PRNGKey(0)))
-    tparams = common.maybe_load_params(teacher, Config(), Config(), lambda: teacher.init(jax.random.PRNGKey(1)))
+
+    def load_nlvr(model, ckpt_path):
+        import os as _os
+        from ..train import checkpoint as ckpt_io
+
+        if not (ckpt_path and _os.path.exists(ckpt_path)):
+            return None
+        sd = ckpt_io.load_torch_state_dict(ckpt_path)
+        loaded = ckpt_io.nlvr_params_from_state_dict(
+            sd, vision_layers=model.vision_cfg["num_hidden_layers"],
+            text_layers=model.base_text_cfg["num_hidden_layers"],
+            fusion_layer=model.base_text_cfg["fusion_layer"],
+            num_patches=model.vision_cfg.num_patches,
+            load_nlvr_pretrain=bool(args.get("load_nlvr_pretrain")),
+        )
+        if "cls_head" not in loaded:  # from-scratch task head
+            loaded["cls_head"] = model.init(jax.random.PRNGKey(9))["cls_head"]
+        return loaded
+
+    sparams = load_nlvr(student, args.get("checkpoint")) or student.init(jax.random.PRNGKey(0))
+    tparams = load_nlvr(teacher, args.get("teacher_chkpt")) or teacher.init(jax.random.PRNGKey(1))
     l0 = build_l0(config)
     l0_params = l0.init(jax.random.PRNGKey(2))
 

@@ -80,11 +80,24 @@ def main(args: Config, config: Config) -> dict:
     image_res = config.get("image_res", 480)
 
     student, teacher = build_models(config)
-    sparams = common.maybe_load_params(student, args, config, lambda: student.init(jax.random.PRNGKey(0)))
-    tparams = common.maybe_load_params(
-        teacher, Config({"checkpoint": args.get("teacher_chkpt")}), Config(),
-        lambda: teacher.init(jax.random.PRNGKey(1)),
-    )
+
+    def load_vqa(model, ckpt_path):
+        import os as _os
+        from ..train import checkpoint as ckpt_io
+
+        if not (ckpt_path and _os.path.exists(ckpt_path)):
+            return None
+        sd = ckpt_io.load_torch_state_dict(ckpt_path)
+        return ckpt_io.vqa_params_from_state_dict(
+            sd, vision_layers=model.vision_cfg["num_hidden_layers"],
+            text_layers=model.text_cfg["num_hidden_layers"],
+            fusion_layer=model.text_cfg["fusion_layer"],
+            num_dec_layers=model.decoder_cfg["num_hidden_layers"],
+            num_patches=model.vision_cfg.num_patches,
+        )
+
+    sparams = load_vqa(student, args.get("checkpoint")) or student.init(jax.random.PRNGKey(0))
+    tparams = load_vqa(teacher, args.get("teacher_chkpt")) or teacher.init(jax.random.PRNGKey(1))
     l0 = build_l0(config)
     l0_params = l0.init(jax.random.PRNGKey(2))
 

@@ -297,6 +297,105 @@ def xvlm_params_from_state_dict(
     return params
 
 
+def vqa_params_from_state_dict(
+    sd: Dict[str, Array],
+    *,
+    vision_layers: int,
+    text_layers: int,
+    fusion_layer: int,
+    num_dec_layers: Optional[int] = None,
+    num_patches: Optional[int] = None,
+) -> dict:
+    """XVLM checkpoint -> VQA model params: question encoder keeps the full
+    fusion stack; the answer decoder is INITIALIZED FROM THE CROSS LAYERS
+    (reference model_generation.py:271-293: text_encoder layer fusion+i ->
+    text_decoder layer i; when decoder cross K/V width == hidden they copy
+    too)."""
+    num_dec_layers = num_dec_layers or (text_layers - fusion_layer)
+    text_sd = strip_bert_prefix(split_by_prefix(sd, "text_encoder."))
+    dec_sd = {}
+    for k, v in text_sd.items():
+        m = re.match(r"encoder\.layer\.(\d+)\.(.*)", k)
+        if m:
+            i = int(m.group(1))
+            if i >= fusion_layer and (i - fusion_layer) < num_dec_layers:
+                dec_sd[f"encoder.layer.{i - fusion_layer}.{m.group(2)}"] = v
+        else:
+            dec_sd[k] = v
+    params = {
+        "vision": vit_params_from_state_dict(
+            split_by_prefix(sd, "vision_encoder."), vision_layers, num_patches=num_patches
+        ),
+        "text": bert_params_from_state_dict(
+            text_sd, text_layers, fusion_layer, with_mlm_head=False
+        ),
+        "text_decoder": bert_params_from_state_dict(
+            dec_sd, num_dec_layers, 0, with_mlm_head=True
+        ),
+    }
+    return params
+
+
+def captioning_params_from_state_dict(
+    sd: Dict[str, Array],
+    *,
+    vision_layers: int,
+    text_layers: int,
+    fusion_layer: int,
+    num_patches: Optional[int] = None,
+    load_capt_pretrain: bool = False,
+) -> dict:
+    """XVLM checkpoint -> captioning model params: the decoder carries the
+    FULL fusion text stack, initialized by copying text_encoder ->
+    text_decoder (reference model_generation.py:88-98); capt-domain
+    checkpoints already store text_decoder keys."""
+    prefix = "text_decoder." if load_capt_pretrain and any(
+        k.startswith("text_decoder.") for k in sd
+    ) else "text_encoder."
+    return {
+        "vision": vit_params_from_state_dict(
+            split_by_prefix(sd, "vision_encoder."), vision_layers, num_patches=num_patches
+        ),
+        "text_decoder": bert_params_from_state_dict(
+            split_by_prefix(sd, prefix), text_layers, fusion_layer, with_mlm_head=True
+        ),
+    }
+
+
+def nlvr_params_from_state_dict(
+    sd: Dict[str, Array],
+    *,
+    vision_layers: int,
+    text_layers: int,
+    fusion_layer: int,
+    num_patches: Optional[int] = None,
+    num_labels: int = 2,
+    load_nlvr_pretrain: bool = False,
+) -> dict:
+    """XVLM checkpoint -> NLVR params: cross layers replicated x2 on load
+    (reference efficient_models/model_nlvr.py:159-183) unless the checkpoint
+    is already an NLVR-domain pretrain."""
+    from ..models.model_nlvr import duplicate_cross_layers_for_nlvr
+
+    text_sd = strip_bert_prefix(split_by_prefix(sd, "text_encoder."))
+    if not load_nlvr_pretrain:
+        text_sd = duplicate_cross_layers_for_nlvr(text_sd, fusion_layer)
+    n_layers = fusion_layer + 2 * (text_layers - fusion_layer)
+    params = {
+        "vision": vit_params_from_state_dict(
+            split_by_prefix(sd, "vision_encoder."), vision_layers, num_patches=num_patches
+        ),
+        "text": bert_params_from_state_dict(
+            text_sd, n_layers, fusion_layer, with_mlm_head=False
+        ),
+    }
+    if "cls_head.0.weight" in sd:
+        params["cls_head"] = _mlp_head(sd, "cls_head")
+    if "ta_head.weight" in sd:
+        params["ta_head"] = _dense(sd, "ta_head")
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Export back to reference keying (for parity round-trips)
 # ---------------------------------------------------------------------------

@@ -73,6 +73,7 @@ def main(argv=None):
     parser.add_argument("--evaluate", action="store_true")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--load_nlvr_pretrain", action="store_true")
+    parser.add_argument("--load_capt_pretrain", action="store_true")
     parser.add_argument("--max_steps", default=None, type=int)
     parsed = parser.parse_args(argv)
 
