@@ -61,10 +61,12 @@ def init_xvlm(
     temp: float = 0.07,
     with_bbox_head: bool = False,
     with_mlm_head: bool = True,
+    vision_init=None,
 ) -> dict:
     keys = jax.random.split(key, 8)
+    vision_init = vision_init or V.init_vit
     params = {
-        "vision": V.init_vit(keys[0], vision_cfg),
+        "vision": vision_init(keys[0], vision_cfg),
         "text": B.init_bert(keys[1], text_cfg, with_mlm_head=with_mlm_head),
         "vision_proj": init_dense(keys[2], vision_cfg["vision_width"], embed_dim),
         "text_proj": init_dense(keys[3], text_cfg["hidden_size"], embed_dim),
@@ -95,6 +97,24 @@ def split_zs(zs: Optional[dict]):
     return vision, text
 
 
+def vision_encoder_dispatch(config: Optional[Config]):
+    """CLIP-ViT (default) / Swin / DeiT switch (reference
+    build_vision_encoder, models/xvlm.py:94-172: use_clip_vit / use_swin
+    config keys; the gated student path supports clip-vit only, like the
+    reference efficient_models/xvlm.py:130-131).
+    Returns (init_fn(key, cfg), apply_fn(params, images, cfg, **kw))."""
+    config = config or {}
+    if config.get("use_swin"):
+        from .swin import init_swin, swin_apply
+
+        return init_swin, swin_apply
+    if config.get("use_deit"):
+        from .deit import deit_apply, init_deit
+
+        return init_deit, deit_apply
+    return V.init_vit, V.vit_apply
+
+
 class XVLM:
     """Thin stateless namespace bundling configs; all methods are pure
     functions of (params, inputs)."""
@@ -104,6 +124,7 @@ class XVLM:
         self.text_cfg = text_cfg
         self.config = config or Config()
         self.embed_dim = self.config.get("embed_dim", 256)
+        self.vision_init, self.vision_apply = vision_encoder_dispatch(self.config)
 
     def init(self, key: Array, **kw) -> dict:
         # jit the whole init: eager per-tensor PRNG dispatch takes minutes
@@ -113,7 +134,8 @@ class XVLM:
 
         fn = functools.partial(
             init_xvlm, vision_cfg=self.vision_cfg, text_cfg=self.text_cfg,
-            embed_dim=self.embed_dim, temp=self.config.get("temp", 0.07), **kw,
+            embed_dim=self.embed_dim, temp=self.config.get("temp", 0.07),
+            vision_init=self.vision_init, **kw,
         )
         return jax.jit(fn)(key)
 
@@ -126,12 +148,14 @@ class XVLM:
     ):
         """reference models/xvlm.py:331-364. Returns (embeds, atts[, extra])."""
         vz, _ = split_zs(zs)
-        out = V.vit_apply(
-            params["vision"], image, self.vision_cfg,
-            idx_to_group_img=idx_to_group_img, image_atts=image_atts,
-            output_attentions=output_attentions, output_hidden_states=output_hidden_states,
+        kw = dict(
+            output_attentions=output_attentions,
+            output_hidden_states=output_hidden_states,
             train=train, rng=rng, dtype=dtype, impl=impl, **vz,
         )
+        if self.vision_apply is V.vit_apply:
+            kw.update(idx_to_group_img=idx_to_group_img, image_atts=image_atts)
+        out = self.vision_apply(params["vision"], image, self.vision_cfg, **kw)
         embeds = out["last_hidden"]
         if idx_to_group_img is None:
             atts = jnp.ones(embeds.shape[:2], jnp.int32)
