@@ -59,20 +59,23 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float):
 
         def group_body(gi, _):
             # gi is a static Python int (unrolled loop) -> static slices,
-            # no Mosaic alignment proof needed for any head_dim
+            # no Mosaic alignment proof needed for any head_dim.
+            # q/k/v kept in the input dtype (bf16): halves the VMEM
+            # temporaries (the 16MB scoped limit is tight at T=640/D=768)
+            # while the score matmul still accumulates in f32 on the MXU.
             sl = pl.ds(gi * group_width, group_width)
-            qg = jax.lax.dot_general(
+            qg = (jax.lax.dot_general(
                 hidden, wq_ref[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bq_ref[0, sl].astype(jnp.float32)
-            kg = jax.lax.dot_general(
+            ) + bq_ref[0, sl].astype(jnp.float32)).astype(hidden.dtype)
+            kg = (jax.lax.dot_general(
                 hidden, wk_ref[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bk_ref[0, sl].astype(jnp.float32)
-            vg = jax.lax.dot_general(
+            ) + bk_ref[0, sl].astype(jnp.float32)).astype(hidden.dtype)
+            vg = (jax.lax.dot_general(
                 hidden, wv_ref[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bv_ref[0, sl].astype(jnp.float32)
+            ) + bv_ref[0, sl].astype(jnp.float32)).astype(hidden.dtype)
             wog = wo_ref[sl, :]
 
             ctx_parts = []
@@ -81,9 +84,9 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float):
                 k = kg[:, s * head_dim:(s + 1) * head_dim]
                 v = vg[:, s * head_dim:(s + 1) * head_dim]
                 scores = jax.lax.dot_general(
-                    q * scale, k, (((1,), (1,)), ((), ())),
+                    q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) + key_bias[None, :]
+                ) * scale + key_bias[None, :]
                 m = jnp.max(scores, axis=-1, keepdims=True)
                 e = jnp.exp(scores - m)
                 probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(hidden.dtype)
@@ -138,6 +141,9 @@ def _fused_mha_padded(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
         scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # unrolled per-head temporaries can exceed the 16MB default
+            # scoped limit at small pruned widths; v5e has headroom
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * d * d * 4 + 4 * b * num_heads * t * t * head_dim,

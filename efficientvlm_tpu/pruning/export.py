@@ -38,10 +38,23 @@ def _fold_head_gate(attn: dict, head_z: np.ndarray, head_dim: int) -> dict:
     return out
 
 
-def _slice_heads(attn: dict, head_z: np.ndarray, head_dim: int) -> Optional[dict]:
-    keep = np.nonzero(np.asarray(head_z) > 0)[0]
+def _align_keep(keep: np.ndarray, dropped: np.ndarray, align: int) -> np.ndarray:
+    """Round the kept-unit count UP to a multiple of `align` by re-adding
+    dropped units (their gate-folded weights are zero, so outputs are
+    bit-identical) — unaligned widths waste MXU tiles (e.g. 9 heads x 64 =
+    576 lanes pads to 640, erasing the pruning speedup)."""
+    if align <= 1 or keep.size % align == 0 or keep.size == 0:
+        return keep
+    pad = min(align - keep.size % align, dropped.size)
+    return np.sort(np.concatenate([keep, dropped[:pad]]))
+
+
+def _slice_heads(attn: dict, head_z: np.ndarray, head_dim: int, align: int = 1) -> Optional[dict]:
+    z = np.asarray(head_z)
+    keep = np.nonzero(z > 0)[0]
     if keep.size == 0:
         return None
+    keep = _align_keep(keep, np.nonzero(z <= 0)[0], align)
     cols = np.concatenate([np.arange(h * head_dim, (h + 1) * head_dim) for h in keep])
     new = {}
     for name in ("q", "k", "v"):
@@ -62,10 +75,12 @@ def _fold_mlp_gate(fc2: dict, mlp_z: np.ndarray) -> dict:
     return out
 
 
-def _slice_mlp(fc1: dict, fc2: dict, mlp_z: np.ndarray):
-    keep = np.nonzero(np.asarray(mlp_z) > 0)[0]
+def _slice_mlp(fc1: dict, fc2: dict, mlp_z: np.ndarray, align: int = 1):
+    z = np.asarray(mlp_z)
+    keep = np.nonzero(z > 0)[0]
     if keep.size == 0:
         return None, None
+    keep = _align_keep(keep, np.nonzero(z <= 0)[0], align)
     nfc1 = {"kernel": jnp.asarray(np.asarray(fc1["kernel"])[:, keep])}
     if "bias" in fc1:
         nfc1["bias"] = jnp.asarray(np.asarray(fc1["bias"])[keep])
@@ -75,10 +90,14 @@ def _slice_mlp(fc1: dict, fc2: dict, mlp_z: np.ndarray):
     return nfc1, nfc2
 
 
-def prune_vit_params(params: dict, zs: dict, *, head_dim: int = 64) -> dict:
+def prune_vit_params(params: dict, zs: dict, *, head_dim: int = 64,
+                     align_heads: int = 1, align_intermediate: int = 1) -> dict:
     """Slice the vision tower by vision_head_z [L,H] / vision_intermediate_z
     [L,I] (binary). Gate values folded first, so non-binary zs also export
-    correctly (reference update_params then prune)."""
+    correctly (reference update_params then prune). align_* keeps extra
+    zero-folded units so sliced widths land on MXU-friendly multiples
+    (recommended: align_heads = 128 // head_dim, align_intermediate = 128).
+    Bit-identical outputs either way."""
     head_z = zs.get("vision_head_z")
     mlp_z = zs.get("vision_intermediate_z")
     new = dict(params)
@@ -88,11 +107,11 @@ def prune_vit_params(params: dict, zs: dict, *, head_dim: int = 64) -> dict:
         if head_z is not None and lp.get("attn") is not None:
             hz = np.asarray(head_z[i]).reshape(-1)
             lp["attn"] = _fold_head_gate(lp["attn"], hz, head_dim)
-            lp["attn"] = _slice_heads(lp["attn"], hz, head_dim)
+            lp["attn"] = _slice_heads(lp["attn"], hz, head_dim, align_heads)
         if mlp_z is not None and lp.get("mlp") is not None:
             mz = np.asarray(mlp_z[i]).reshape(-1)
             fc2 = _fold_mlp_gate(lp["mlp"]["fc2"], mz)
-            fc1, fc2 = _slice_mlp(lp["mlp"]["fc1"], fc2, mz)
+            fc1, fc2 = _slice_mlp(lp["mlp"]["fc1"], fc2, mz, align_intermediate)
             lp["mlp"] = None if fc1 is None else {"fc1": fc1, "fc2": fc2}
         layers.append(lp)
     new["layers"] = layers
@@ -107,6 +126,8 @@ def prune_bert_params(
     head_dim: int = 64,
     text_key: str = "text",
     decoder: bool = False,
+    align_heads: int = 1,
+    align_intermediate: int = 1,
 ) -> dict:
     """Slice a fusion-BERT stack. Layers [0, fusion) use text_head_z /
     text_intermediate_z; layers [fusion, N) use cross_head_z [Lc,2,H]
@@ -134,14 +155,15 @@ def prune_bert_params(
             mz = np.asarray(text_mlp_z[i]).reshape(-1) if text_mlp_z is not None else None
 
         if shz is not None and lp.get("attention") is not None:
-            lp["attention"] = _slice_heads(_fold_head_gate(lp["attention"], shz, head_dim), shz, head_dim)
+            lp["attention"] = _slice_heads(
+                _fold_head_gate(lp["attention"], shz, head_dim), shz, head_dim, align_heads)
         if xhz is not None and lp.get("crossattention") is not None:
             lp["crossattention"] = _slice_heads(
-                _fold_head_gate(lp["crossattention"], xhz, head_dim), xhz, head_dim
+                _fold_head_gate(lp["crossattention"], xhz, head_dim), xhz, head_dim, align_heads
             )
         if mz is not None and lp.get("intermediate") is not None:
             fc2 = _fold_mlp_gate(lp["output"], mz)
-            fc1, fc2 = _slice_mlp(lp["intermediate"], fc2, mz)
+            fc1, fc2 = _slice_mlp(lp["intermediate"], fc2, mz, align_intermediate)
             if fc1 is None:
                 lp["intermediate"] = None
                 lp["output"] = None
@@ -152,21 +174,27 @@ def prune_bert_params(
     return new
 
 
-def prune_xvlm_params(params: dict, zs: dict, *, fusion_layer: int, head_dim: int = 64) -> dict:
-    """Full XVLM export: vision + text towers (retrieval/NLVR/pretrain)."""
+def prune_xvlm_params(params: dict, zs: dict, *, fusion_layer: int, head_dim: int = 64,
+                      mxu_align: bool = False) -> dict:
+    """Full XVLM export: vision + text towers (retrieval/NLVR/pretrain).
+    mxu_align=True rounds sliced widths to 128-lane multiples by keeping
+    extra zero-folded units (exactness preserved, better MXU tiling)."""
+    ah = max(1, 128 // head_dim) if mxu_align else 1
+    ai = 128 if mxu_align else 1
+    kw = dict(head_dim=head_dim, align_heads=ah, align_intermediate=ai)
     new = dict(params)
     if "vision" in params:
-        new["vision"] = prune_vit_params(params["vision"], zs, head_dim=head_dim)
+        new["vision"] = prune_vit_params(params["vision"], zs, **kw)
     if "text" in params:
-        new["text"] = prune_bert_params(params["text"], zs, fusion_layer=fusion_layer, head_dim=head_dim)
+        new["text"] = prune_bert_params(params["text"], zs, fusion_layer=fusion_layer, **kw)
     if "text_decoder" in params and "decoder_head_z" in zs:
         new["text_decoder"] = prune_bert_params(
-            params["text_decoder"], zs, fusion_layer=0, head_dim=head_dim, decoder=True
+            params["text_decoder"], zs, fusion_layer=0, decoder=True, **kw
         )
     elif "text_decoder" in params:
         # captioning decoder shares the text/cross layout
         new["text_decoder"] = prune_bert_params(
-            params["text_decoder"], zs, fusion_layer=fusion_layer, head_dim=head_dim
+            params["text_decoder"], zs, fusion_layer=fusion_layer, **kw
         )
     return new
 
