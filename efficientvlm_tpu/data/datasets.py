@@ -229,25 +229,60 @@ class VQADataset:
         return pixels, question, answers, weights
 
 
-def vqa_collate(samples, *, pad_multiple: int = 8):
+def vqa_collate(samples, *, pad_multiple: int = 8, n_shards: int = 1):
     """Flattens per-question answer lists; returns the static-shape gather
     index `k_index` mapping each answer row to its question (replacing the
     reference's per-question replication loop, dataset/__init__.py:160-168).
 
     The flattened answer count is padded up to a multiple of `pad_multiple`
     with zero-weight copies of the first answer, so jitted train steps see
-    a small fixed set of shapes instead of recompiling per batch."""
+    a small fixed set of shapes instead of recompiling per batch.
+
+    With n_shards > 1 (data-parallel training) questions are split into
+    n_shards contiguous groups, each group's answers flattened and padded to
+    a COMMON per-shard length, and k_index made LOCAL to the group — so
+    sharding every array on the leading axis gives each device a
+    self-consistent (questions, answers, k_index) block."""
     images, questions, answer_lists, weight_lists = zip(*samples)
-    answers, weights, k_index = [], [], []
-    for qi, (ans, ws) in enumerate(zip(answer_lists, weight_lists)):
-        answers += ans
-        weights += ws
-        k_index += [qi] * len(ans)
+    if n_shards <= 1:
+        answers, weights, k_index = [], [], []
+        for qi, (ans, ws) in enumerate(zip(answer_lists, weight_lists)):
+            answers += ans
+            weights += ws
+            k_index += [qi] * len(ans)
+        if pad_multiple > 1:
+            pad = (-len(answers)) % pad_multiple
+            answers += [answers[0]] * pad
+            weights += [0.0] * pad
+            k_index += [0] * pad
+        return (
+            np.stack(images),
+            list(questions),
+            list(answers),
+            np.asarray(weights, np.float32),
+            np.asarray(k_index, np.int64),
+        )
+    assert len(samples) % n_shards == 0, (len(samples), n_shards)
+    per = len(samples) // n_shards
+    groups = []
+    for s in range(n_shards):
+        ans_s, w_s, k_s = [], [], []
+        for qi in range(per):
+            ans = answer_lists[s * per + qi]
+            ws = weight_lists[s * per + qi]
+            ans_s += ans
+            w_s += ws
+            k_s += [qi] * len(ans)
+        groups.append((ans_s, w_s, k_s))
+    shard_len = max(len(g[0]) for g in groups)
     if pad_multiple > 1:
-        pad = (-len(answers)) % pad_multiple
-        answers += [answers[0]] * pad
-        weights += [0.0] * pad
-        k_index += [0] * pad
+        shard_len += (-shard_len) % pad_multiple
+    answers, weights, k_index = [], [], []
+    for ans_s, w_s, k_s in groups:
+        pad = shard_len - len(ans_s)
+        answers += ans_s + [ans_s[0]] * pad
+        weights += w_s + [0.0] * pad
+        k_index += k_s + [0] * pad
     return (
         np.stack(images),
         list(questions),
@@ -309,6 +344,44 @@ class CaptioningTrainDataset:
         image = open_image(ann["image"], is_path=True, image_root=self.image_root)
         caption = self.prompt + pre_caption(ann["caption"], self.max_words)
         return self.transform(image), caption, self.img_ids[ann["image_id"]]
+
+
+class CaptioningSCSTDataset:
+    """SCST train set (reference coco_karpathy_train_scst,
+    dataset/captioning_dataset.py:63-110): one row per annotation, but the
+    target is n_gts ground-truth captions sampled from the image's full
+    caption map (no prompt prefix — rewards compare raw captions)."""
+
+    def __init__(self, ann_file, transform: ImageTransform, image_root: str,
+                 max_words: int = 30, n_gts: int = 5, seed: int = 42):
+        self.ann = load_ann(ann_file)
+        self.transform = transform
+        self.image_root = image_root
+        self.max_words = max_words
+        self.n_gts = n_gts
+        self.rng = np.random.default_rng(seed)
+        self.captions_by_image: Dict = {}
+        for ann in self.ann:
+            self.captions_by_image.setdefault(ann["image"], []).append(
+                pre_caption(ann["caption"], max_words))
+
+    def __len__(self):
+        return len(self.ann)
+
+    def __getitem__(self, index):
+        ann = self.ann[index]
+        image = open_image(ann["image"], is_path=True, image_root=self.image_root)
+        gts = self.captions_by_image[ann["image"]]
+        if len(gts) >= self.n_gts:
+            pick = self.rng.choice(len(gts), self.n_gts, replace=False)
+        else:
+            pick = self.rng.choice(len(gts), self.n_gts, replace=True)
+        return self.transform(image), [gts[i] for i in pick]
+
+
+def scst_collate(samples):
+    images, gt_lists = zip(*samples)
+    return np.stack(images), list(gt_lists)
 
 
 class CaptioningEvalDataset:
@@ -536,10 +609,21 @@ class RegionTextDataset(PretrainImageTextDataset):
             except Exception as e:
                 print(f"### encounter broken data: {e}")
 
-    def batches(self, max_images: int = 48):
+    def batches(self, max_images: int = 48, n_shards: int = 1):
         """Grouped fixed-size batches with idx_to_group_img
-        (collate_fn, pretrain_dataset.py:478-526)."""
+        (collate_fn, pretrain_dataset.py:478-526).
+
+        With n_shards > 1 (data-parallel training) the batch is built as
+        n_shards independent sub-blocks concatenated along axis 0 — each
+        block's idx_to_group_img indexes its OWN image block — so sharding
+        every array on the leading axis hands each device a self-consistent
+        grouped sub-batch."""
+        assert max_images % n_shards == 0 and self.batch_size % n_shards == 0, (
+            max_images, self.batch_size, n_shards)
+        imgs_per_shard = max_images // n_shards
+        texts_per_shard = self.batch_size // n_shards
         rng = self.rng
+        blocks: List[dict] = []
         images: List = []
         flat: List = []
         group: List[int] = []
@@ -549,16 +633,16 @@ class RegionTextDataset(PretrainImageTextDataset):
             for s in samples:
                 flat.append(s)
                 group.append(img_idx)
-            if len(images) >= max_images:
+            if len(images) >= imgs_per_shard:
                 n = len(flat)
-                if n >= self.batch_size:
-                    keep = rng.choice(n, self.batch_size, replace=False)
+                if n >= texts_per_shard:
+                    keep = rng.choice(n, texts_per_shard, replace=False)
                 else:
                     keep = np.concatenate([
-                        np.arange(n), rng.choice(n, self.batch_size - n, replace=True)
+                        np.arange(n), rng.choice(n, texts_per_shard - n, replace=True)
                     ])
                 cols = list(zip(*[flat[i] for i in keep]))
-                yield {
+                blocks.append({
                     "image": np.stack(images),
                     "idx_to_group_img": np.asarray([group[i] for i in keep], np.int32),
                     "text_ids": np.stack(cols[0]),
@@ -569,5 +653,11 @@ class RegionTextDataset(PretrainImageTextDataset):
                     "image_atts": np.stack(cols[5]),
                     "target_bbox": np.stack(cols[6]),
                     "is_image": np.asarray(cols[7], np.int32),
-                }
+                })
                 images, flat, group = [], [], []
+                if len(blocks) == n_shards:
+                    yield {
+                        k: np.concatenate([b[k] for b in blocks], axis=0)
+                        for k in blocks[0]
+                    }
+                    blocks = []

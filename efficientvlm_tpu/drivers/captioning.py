@@ -10,7 +10,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..data.datasets import CaptioningEvalDataset, CaptioningTrainDataset, SimpleLoader
+from ..data.datasets import (
+    CaptioningEvalDataset,
+    CaptioningSCSTDataset,
+    CaptioningTrainDataset,
+    SimpleLoader,
+    scst_collate,
+)
 from ..data.tokenizer import build_tokenizer
 from ..data.transforms import ImageTransform
 from ..data.utils import collect_result
@@ -107,11 +113,17 @@ def main(args: Config, config: Config) -> dict:
                                 remove_duplicate="image_id")
         return {"results": merged}
 
+    if args.get("scst"):
+        return scst_train(args, config, student, sparams, l0, l0_params,
+                          tokenizer, val_loader, info, prompt, prompt_len)
+
     train_ds = CaptioningTrainDataset(
         config["train_file"], ImageTransform.train(image_res, seed=args.get("seed", 42)),
         config.get("image_root", ""), prompt=prompt, max_words=config.get("max_tokens", 30),
     )
-    bs = int(args.get("bs") or config.get("batch_size_train", 16))
+    # per-device batch (reference per-GPU bs) × local chips
+    n_dev = jax.local_device_count()
+    bs = int(args.get("bs") or config.get("batch_size_train", 16)) * n_dev
     train_loader = SimpleLoader(train_ds, batch_size=bs, shuffle=True, drop_last=True,
                                 rank=info["rank"], world_size=info["world_size"])
     epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 5))
@@ -136,25 +148,35 @@ def main(args: Config, config: Config) -> dict:
             rng=rng, output_attentions=True, output_hidden_states=True, train=False,
         )
 
-    step_fn = jax.jit(make_task_train_step(
+    step_fn, mesh, _ = common.data_parallel_step(make_task_train_step(
         student_forward, teacher_forward,
         lambda s, t: captioning_kd_losses(s, t, temperature=float(args.get("temperature", 1.0))),
         l0, optimizers, teacher_params=tparams,
         task_weight=0.7, kd_weight=0.3,  # Eff_Captioning.py:144
+        axis_name=common.dp_axis_name(),
     ))
 
-    rng = jax.random.PRNGKey(int(args.get("seed", 42)))
-    for epoch in range(epochs):
+    start_epoch = 0
+    if args.get("resume") and args.get("output_dir"):
+        restored = common.restore_full_state(args["output_dir"], state)
+        if restored is not None:
+            state, extra = restored
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
+
+    base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
+        rng = jax.random.fold_in(base_rng, epoch)
         logger = MetricLogger()
         for images, captions, _ in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
             tok = tokenizer(list(captions), padding="max_length", truncation=True,
                             max_length=config.get("max_tokens", 30))
-            batch = {
+            batch = common.place_batch({
                 "image": jnp.asarray(images),
                 "caption_ids": jnp.asarray(tok["input_ids"]),
                 "caption_atts": jnp.asarray(tok["attention_mask"]),
-            }
+            }, mesh)
             rng, srng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, srng)
             logger.update(**{k: float(v) for k, v in metrics.items()})
@@ -177,4 +199,95 @@ def main(args: Config, config: Config) -> dict:
             args.get("output_dir", ""), epoch,
             {"model": state.params, "l0": {"loga": state.loga, **state.lam}, "epoch": epoch},
         )
+        common.save_full_state(args.get("output_dir", ""), state, {"epoch": epoch})
     return {"state": state}
+
+
+def scst_train(args, config, student, sparams, l0, l0_params, tokenizer,
+               val_loader, info, prompt, prompt_len):
+    """--scst fine-tune (reference Eff_Captioning.py:415 + ScstRewardCriterion,
+    utils/__init__.py:16-97): device-sampled captions, host CIDEr-D
+    advantage vs greedy baseline, advantage-weighted logprob update. Gates
+    are frozen deterministic (SCST runs after the pruning fine-tune)."""
+    from ..train.scheduler import create_scheduler
+    from ..train.optim import create_optimizer
+    from ..train.scst import ScstRewardCriterion, make_scst_step
+
+    image_res = config.get("image_res", 384)
+    n_dev = jax.local_device_count()
+    sample_n = int(config.get("scst_sample_n", 5))
+    bs = int(args.get("bs") or config.get("batch_size_train_scst",
+                                          config.get("batch_size_train", 8))) * n_dev
+    train_ds = CaptioningSCSTDataset(
+        config["train_file"], ImageTransform.train(image_res, seed=args.get("seed", 42)),
+        config.get("image_root", ""), max_words=config.get("max_tokens", 30),
+        n_gts=sample_n, seed=int(args.get("seed", 42)),
+    )
+    train_loader = SimpleLoader(
+        train_ds, batch_size=bs, shuffle=True, drop_last=True,
+        rank=info["rank"], world_size=info["world_size"], collate_fn=scst_collate,
+    )
+    epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 3))
+    steps_per_epoch = max(len(train_loader), 1)
+    opt_cfg = config.get("optimizer", Config())
+    sched = create_scheduler(
+        lr=float(opt_cfg.get("lr_scst", opt_cfg.get("lr", 1e-5))),
+        num_training_steps=epochs * steps_per_epoch,
+        num_warmup_steps=config.get("schedular", {}).get("num_warmup_steps", 0),
+    )
+    optimizer = create_optimizer(
+        sparams, lr=sched, weight_decay=float(opt_cfg.get("weight_decay", 0.01)),
+        grad_clip=float(config.get("accelerator", {}).get("CLIP_GRAD_NORM", 1.0) or 0) or None,
+    )
+    zs = (l0.forward_deterministic({"loga": l0_params["loga"]})
+          if float(config.get("sparsity", 0.0)) > 0 else None)
+    eos_id = tokenizer.sep_token_id
+    pad_id = tokenizer.pad_token_id
+    max_len = int(config.get("max_length", 20))
+    sample_fn, grad_step = make_scst_step(
+        student, optimizer,
+        prompt_length=prompt_len, pad_token_id=pad_id, eos_id=eos_id,
+        sample_n=sample_n, max_length=max_len,
+        min_length=int(config.get("min_length", 5)),
+        top_p=float(config.get("scst_top_p", 1.0)),
+        zs=zs, axis_name=common.dp_axis_name(),
+    )
+    sample_fn = jax.jit(sample_fn)
+    grad_fn, mesh, _ = common.data_parallel_step(grad_step)
+    criterion = ScstRewardCriterion(sample_n=sample_n, baseline_type="greedy")
+    prompt_ids = np.asarray(tokenizer([prompt])["input_ids"])[:, :-1]
+
+    state = (sparams, optimizer.init(sparams), jnp.asarray(0))
+    base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    reward_hist = []
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        rng = jax.random.fold_in(base_rng, epoch)
+        logger = MetricLogger()
+        for images, gt_lists in logger.log_every(train_loader, 10, f"SCST Epoch: [{epoch}]"):
+            b = len(gt_lists)
+            rng, srng, grng = jax.random.split(rng, 3)
+            pids = jnp.asarray(np.repeat(prompt_ids, b, axis=0))
+            sample_toks, greedy_toks = sample_fn(state[0], jnp.asarray(images), pids, srng)
+            sampled = [tokenizer.decode(t, skip_special_tokens=True)
+                       for t in np.asarray(sample_toks)]
+            greedy = [tokenizer.decode(t, skip_special_tokens=True)
+                      for t in np.asarray(greedy_toks)]
+            adv = criterion.rewards(gt_lists, sampled, greedy)
+            batch = common.place_batch({
+                "image": jnp.asarray(images),
+                "tokens": jnp.asarray(sample_toks),
+                "advantages": jnp.asarray(adv),
+            }, mesh)
+            state, metrics = grad_fn(state, batch, grng)
+            logger.update(reward=criterion.get_score(),
+                          **{k: float(v) for k, v in metrics.items()})
+            reward_hist.append(criterion.get_score())
+        logger.synchronize_between_processes()
+        common.log_stats(
+            {"epoch": epoch, "scst": True,
+             **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},
+            args.get("output_dir", ""),
+        )
+        common.save_full_state(args.get("output_dir", ""), state, {"epoch": epoch})
+    return {"state": state, "reward_history": reward_hist}

@@ -97,8 +97,16 @@ def build_optimizers(params, config: Config, total_steps: int, *, init_param_pat
 
 def maybe_load_params(model, args: Config, config: Config, build_fn, **load_kw):
     """Init params; if a checkpoint is given, import it via the torch
-    remap path."""
+    remap path. Raw Swin/DeiT tower checkpoints (config.vision.ckpt,
+    reference build_vision_encoder load_params=True) fill the vision
+    subtree when an alternative encoder is selected."""
     params = build_fn()
+    vision_ckpt = (config.get("vision") or {}).get("ckpt")
+    if (vision_ckpt and os.path.exists(vision_ckpt)
+            and (config.get("use_swin") or config.get("use_deit"))):
+        params["vision"] = ckpt_io.alt_vision_params_from_file(
+            vision_ckpt, config, model.vision_cfg)
+        print(f"### loaded vision tower from {vision_ckpt}")
     ckpt = args.get("checkpoint") or config.get("checkpoint")
     if ckpt and os.path.exists(ckpt):
         sd = ckpt_io.load_torch_state_dict(ckpt)
@@ -120,3 +128,82 @@ def save_training_state(output_dir: str, tag, payload: dict) -> None:
         return
     ckpt = ckpt_io.Checkpointer(output_dir)
     ckpt.save_checkpoint(tag, payload, training_states=payload)
+
+
+def data_parallel_step(step_fn, *, fold_rng: bool = True):
+    """Data-parallel wrap of step_fn(state, batch, rng) -> (state, metrics)
+    over ALL local devices — the TPU-native DDP that every reference driver
+    gets from torch DDP / Apex (Eff_Retrieval.py:448-450,
+    apex_ddp_accelerator.py:79-89). State is replicated, the batch is
+    sharded on a 1-axis 'data' mesh, and the step's own pmean (enabled by
+    axis_name='data') reduces grads/metrics over ICI.
+
+    The per-shard rng is decorrelated by folding in the axis index, matching
+    reference DDP semantics where every rank samples its own dropout /
+    hard-negative / gate noise.
+
+    Returns (jitted_fn, mesh, n_devices); with one device this degrades to
+    plain jax.jit and mesh=None.
+    """
+    devices = jax.local_devices()
+    n = len(devices)
+    if n == 1:
+        return jax.jit(step_fn), None, 1
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(devices), ("data",))
+
+    def wrapped(state, batch, rng):
+        if fold_rng:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        return step_fn(state, batch, rng)
+
+    fn = jax.jit(
+        shard_map(
+            wrapped, mesh=mesh,
+            in_specs=(P(), P("data"), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    return fn, mesh, n
+
+
+def dp_axis_name() -> Optional[str]:
+    """'data' when >1 local device (drivers pass it into step factories so
+    grads/metrics pmean and the ITC all_gather span the mesh), else None."""
+    return "data" if jax.local_device_count() > 1 else None
+
+
+def place_batch(batch: dict, mesh) -> dict:
+    """Async device_put of a host batch, sharded on the data axis."""
+    if mesh is None:
+        return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def save_full_state(output_dir: str, state, extra: dict, *, tag="latest") -> None:
+    """Persist the COMPLETE training state — params, gates, λ, and all three
+    optimizer states — plus driver metadata (epoch/step), mirroring the
+    reference's saved dict {model, optimizer, lr_scheduler, epoch}
+    (GeneralDistill.py:420-426)."""
+    if get_rank() != 0 or not output_dir:
+        return
+    path = os.path.join(output_dir, "training_state_latest.ckpt")
+    ckpt_io.save_pytree(path, {"state": state, "extra": extra})
+
+
+def restore_full_state(output_dir: str, template_state):
+    """Restore (state, extra) saved by save_full_state, rebuilding optimizer
+    pytrees against `template_state`'s structure (GeneralDistill.py:512-520).
+    Returns None when no checkpoint exists."""
+    path = os.path.join(output_dir, "training_state_latest.ckpt")
+    if not os.path.exists(path):
+        return None
+    payload = ckpt_io.load_pytree(path)
+    state = ckpt_io.restore_pytree_like(template_state, payload["state"])
+    return state, payload.get("extra", {})

@@ -42,11 +42,15 @@ def main(args: Config, config: Config) -> dict:
         lambda: teacher.init(jax.random.PRNGKey(1), with_bbox_head=True),
     )
 
+    # per-device batch (reference per-GPU bs, Pretrain_XVLM_small_4m.yaml
+    # images.batch_size=128) × local chips = this host's stream batch
+    n_dev = jax.local_device_count()
     general_ds = PretrainImageTextDataset(
         config, config["train_file"], tokenizer,
         rank=info["rank"], world_size=info["world_size"], repeat=True,
         seed=int(args.get("seed", 42)),
     )
+    general_ds.batch_size *= n_dev
     region_ds = None
     iter_perc = 0.0
     if config.get("train_file_regions"):
@@ -55,71 +59,82 @@ def main(args: Config, config: Config) -> dict:
             rank=info["rank"], world_size=info["world_size"], repeat=True,
             seed=int(args.get("seed", 42)),
         )
+        region_ds.batch_size *= n_dev
         iter_perc = float(config.get("regions", {}).get("iter_perc", 0.5))
 
     epochs = int(config.get("schedular", {}).get("epochs", 41))
     steps_per_epoch = config.get("train_dataset_size", 10000) // max(
-        config.get("images", {}).get("batch_size", 128) * info["world_size"], 1
+        config.get("images", {}).get("batch_size", 128) * n_dev * info["world_size"], 1
     )
     total_steps = epochs * steps_per_epoch
     optimizer, _, _ = common.build_optimizers(sparams, config, total_steps)
     opt_state = optimizer.init(sparams)
     start_step = 0
 
-    # resume (GeneralDistill.py:512-520)
+    state = (sparams, opt_state, jnp.asarray(start_step))
+    # resume (GeneralDistill.py:512-520) — full state incl. optimizer moments
     if args.get("resume") and args.get("output_dir"):
-        latest = ckpt_io.Checkpointer(args["output_dir"]).load_latest()
-        if latest is not None:
-            sparams = latest["model"]
-            start_step = int(latest.get("step", 0))
-            print(f"### resumed from step {start_step}")
+        restored = common.restore_full_state(args["output_dir"], state)
+        if restored is not None:
+            state, extra = restored
+            start_step = int(extra.get("step", 0))
+            print(f"### resumed from step {start_step} (full state incl. optimizer)")
 
     temperature = float(args.get("temperature", 1.0))
-    general_step = jax.jit(make_gd_train_step(
+    axis = common.dp_axis_name()
+    general_step, mesh, _ = common.data_parallel_step(make_gd_train_step(
         student, teacher, optimizer, teacher_params=tparams, temperature=temperature,
+        axis_name=axis,
     ))
-    region_step = jax.jit(make_gd_train_step(
+    region_step = common.data_parallel_step(make_gd_train_step(
         student, teacher, optimizer, teacher_params=tparams, temperature=temperature,
-        with_bbox=True,
-    )) if region_ds is not None else None
+        with_bbox=True, axis_name=axis,
+    ))[0] if region_ds is not None else None
 
-    state = (sparams, opt_state, jnp.asarray(start_step))
-    rng = jax.random.PRNGKey(int(args.get("seed", 42)) + info["rank"])
-    host_rng = np.random.default_rng(int(args.get("seed", 42)))
+    base_rng = jax.random.PRNGKey(int(args.get("seed", 42)) + info["rank"])
     ckpt_freq = int(config.get("ckpt_frequent_step", 10000))
     max_steps = int(args.get("max_steps") or total_steps)
+    seed = int(args.get("seed", 42))
 
     logger = MetricLogger()
     general_iter = iter(general_ds.batches())
-    region_iter = iter(region_ds.batches(config.get("regions", {}).get("max_images", 48))) if region_ds else None
+    region_iter = iter(region_ds.batches(
+        config.get("regions", {}).get("max_images", 48) * n_dev, n_shards=n_dev,
+    )) if region_ds else None
 
     def steps():
         for i in range(start_step, max_steps):
             yield i
 
     for step in logger.log_every(steps(), 50, "GD Train:", total=max_steps - start_step):
-        rng, srng = jax.random.split(rng)
-        use_region = region_iter is not None and host_rng.random() < iter_perc
+        # step-keyed rng + region-choice so a resumed run continues the
+        # exact stochastic stream of the uninterrupted one
+        srng = jax.random.fold_in(base_rng, step)
+        use_region = region_iter is not None and (
+            np.random.default_rng((seed, step)).random() < iter_perc
+        )
         if use_region:
-            batch = {k: jnp.asarray(v) for k, v in next(region_iter).items()}
+            batch = common.place_batch({k: jnp.asarray(v) for k, v in next(region_iter).items()}, mesh)
             state, metrics = region_step(state, batch, srng)
         else:
-            batch = {k: jnp.asarray(v) for k, v in next(general_iter).items()}
+            batch = common.place_batch({k: jnp.asarray(v) for k, v in next(general_iter).items()}, mesh)
             state, metrics = general_step(state, batch, srng)
         logger.update(**{k: float(v) for k, v in metrics.items()})
-        if (step + 1) % ckpt_freq == 0 and get_rank() == 0 and args.get("output_dir"):
-            ckpt_io.Checkpointer(args["output_dir"]).save_checkpoint(
-                step + 1, {"model": state[0], "step": step + 1},
-                training_states={"model": state[0], "step": step + 1},
-            )
+        if (step + 1) % ckpt_freq == 0 and args.get("output_dir"):
+            if get_rank() == 0:
+                ckpt_io.Checkpointer(args["output_dir"]).save_checkpoint(
+                    step + 1, {"model": state[0], "step": step + 1},
+                )
+            common.save_full_state(args["output_dir"], state, {"step": step + 1})
             common.log_stats(
                 {"step": step + 1,
                  **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},
                 args["output_dir"],
             )
-    if get_rank() == 0 and args.get("output_dir"):
-        ckpt_io.Checkpointer(args["output_dir"]).save_checkpoint(
-            "final", {"model": state[0], "step": max_steps},
-            training_states={"model": state[0], "step": max_steps},
-        )
+    if args.get("output_dir"):
+        if get_rank() == 0:
+            ckpt_io.Checkpointer(args["output_dir"]).save_checkpoint(
+                "final", {"model": state[0], "step": max_steps},
+            )
+        common.save_full_state(args["output_dir"], state, {"step": max_steps})
     return {"state": state}

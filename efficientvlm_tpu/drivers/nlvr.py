@@ -102,7 +102,9 @@ def main(args: Config, config: Config) -> dict:
         return {"test_acc": acc}
 
     train_ds = NLVRDataset(config["train_file"], tform_train, config.get("image_root", ""))
-    bs = int(args.get("bs") or config.get("batch_size_train", 16))
+    # per-device batch (reference per-GPU bs) × local chips
+    n_dev = jax.local_device_count()
+    bs = int(args.get("bs") or config.get("batch_size_train", 16)) * n_dev
     train_loader = SimpleLoader(
         train_ds, batch_size=bs, shuffle=True, drop_last=True,
         rank=info["rank"], world_size=info["world_size"],
@@ -118,40 +120,56 @@ def main(args: Config, config: Config) -> dict:
 
     fusion_s = student.num_text_layers
 
+    # the two images travel as separate batch keys so the data axis shards
+    # example-aligned blocks; the [2b]-stacked layout the model consumes is
+    # rebuilt per shard inside the step
     def student_forward(params, zs, batch, rng):
+        images = jnp.concatenate([batch["image0"], batch["image1"]], axis=0)
         return student.forward(
-            params, batch["image"], batch["text_ids"], batch["text_atts"], batch["targets"],
+            params, images, batch["text_ids"], batch["text_atts"], batch["targets"],
             zs=zs, rng=rng, train=True, output_attentions=True, output_hidden_states=True,
         )
 
     def teacher_forward(params, batch, rng):
+        images = jnp.concatenate([batch["image0"], batch["image1"]], axis=0)
         return teacher.forward(
-            params, batch["image"], batch["text_ids"], batch["text_atts"], batch["targets"],
+            params, images, batch["text_ids"], batch["text_atts"], batch["targets"],
             rng=rng, train=True, output_attentions=True, output_hidden_states=True,
         )
 
-    step_fn = jax.jit(make_task_train_step(
+    step_fn, mesh, _ = common.data_parallel_step(make_task_train_step(
         student_forward, teacher_forward,
         lambda s, t: nlvr_kd_losses(s, t, fusion_layer_s=fusion_s,
                                     temperature=float(args.get("temperature", 1.0))),
         l0, optimizers, teacher_params=tparams,
         task_weight=0.8, kd_weight=0.2,  # Eff_NLVR.py:150
+        axis_name=common.dp_axis_name(),
     ))
 
+    start_epoch = 0
+    if args.get("resume") and args.get("output_dir"):
+        restored = common.restore_full_state(args["output_dir"], state)
+        if restored is not None:
+            state, extra = restored
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
+
     best, best_epoch = 0.0, 0
-    rng = jax.random.PRNGKey(int(args.get("seed", 42)))
-    for epoch in range(epochs):
+    base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
+        rng = jax.random.fold_in(base_rng, epoch)
         logger = MetricLogger()
         for image0, image1, sentences, labels in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
             tok = tokenizer(list(sentences), padding="max_length", truncation=True,
                             max_length=config.get("max_tokens", 40))
-            batch = {
-                "image": jnp.concatenate([jnp.asarray(image0), jnp.asarray(image1)], axis=0),
+            batch = common.place_batch({
+                "image0": jnp.asarray(image0),
+                "image1": jnp.asarray(image1),
                 "text_ids": jnp.asarray(tok["input_ids"]),
                 "text_atts": jnp.asarray(tok["attention_mask"]),
                 "targets": jnp.asarray(labels),
-            }
+            }, mesh)
             rng, srng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, srng)
             logger.update(**{k: float(v) for k, v in metrics.items()})
@@ -163,6 +181,7 @@ def main(args: Config, config: Config) -> dict:
              **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},
             args.get("output_dir", ""),
         )
+        common.save_full_state(args.get("output_dir", ""), state, {"epoch": epoch})
         if val_acc >= best:
             best, best_epoch = val_acc, epoch
             common.save_training_state(

@@ -86,7 +86,10 @@ def main(args: Config, config: Config) -> dict:
         config["train_file"], ImageTransform.train(image_res, seed=args.get("seed", 42)),
         config.get("image_root", ""), max_words=config.get("max_tokens", 40),
     )
-    bs = int(args.get("bs") or config.get("batch_size_train", 24))
+    # per-device batch (reference per-GPU bs, Eff_Retrieval.py:448-450) ×
+    # local chips = this host's loader batch; shard_map splits it per chip.
+    n_dev = jax.local_device_count()
+    bs = int(args.get("bs") or config.get("batch_size_train", 24)) * n_dev
     train_loader = SimpleLoader(
         train_ds, batch_size=bs, shuffle=True, drop_last=True,
         rank=info["rank"], world_size=info["world_size"],
@@ -122,18 +125,11 @@ def main(args: Config, config: Config) -> dict:
 
     start_epoch = 0
     if args.get("resume") and args.get("output_dir"):
-        from ..train.checkpoint import Checkpointer
-
-        latest = Checkpointer(args["output_dir"]).load_latest()
-        if latest is not None:
-            sparams = latest["model"]
-            l0_loaded = latest.get("l0", l0_params)
-            l0_params = {"loga": l0_loaded.get("loga", l0_params["loga"]),
-                         "lambda_1": l0_loaded.get("lambda_1", l0_params["lambda_1"]),
-                         "lambda_2": l0_loaded.get("lambda_2", l0_params["lambda_2"])}
-            start_epoch = int(latest.get("epoch", -1)) + 1
-            state = init_train_state(sparams, l0_params, optimizers)
-            print(f"### resumed from epoch {start_epoch}")
+        restored = common.restore_full_state(args["output_dir"], state)
+        if restored is not None:
+            state, extra = restored
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
 
     if args.get("evaluate"):
         zs = l0.forward_deterministic({"loga": state.loga})
@@ -145,27 +141,31 @@ def main(args: Config, config: Config) -> dict:
 
     dtype = _jnp.bfloat16 if config.get("compute_dtype", "bf16") == "bf16" else None
     impl = config.get("attn_impl", "fused")
-    step_fn = jax.jit(make_retrieval_train_step(
+    step_fn, mesh, _ = common.data_parallel_step(make_retrieval_train_step(
         student, teacher, l0, optimizers, teacher_params=tparams,
         temperature=float(args.get("temperature", 1.0)),
+        axis_name=common.dp_axis_name(),
         dtype=dtype, impl=impl,
     ))
 
     best = 0.0
     best_epoch = 0
-    rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
+        # epoch-keyed rng stream so a resumed run replays the interrupted
+        # epoch bit-for-bit (reference resumes at epoch granularity)
+        rng = jax.random.fold_in(base_rng, epoch)
         logger = MetricLogger()
         for images, captions, idx in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
             tok = tokenizer(list(captions), padding="longest", truncation=True,
                             max_length=config.get("max_tokens", 40))
-            batch = {
+            batch = common.place_batch({
                 "image": jnp.asarray(images),
                 "text_ids": jnp.asarray(tok["input_ids"]),
                 "text_atts": jnp.asarray(tok["attention_mask"]),
                 "idx": jnp.asarray(idx),
-            }
+            }, mesh)
             rng, srng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, srng)
             logger.update(**{k: float(v) for k, v in metrics.items()})
@@ -181,6 +181,7 @@ def main(args: Config, config: Config) -> dict:
             "sparsity": sizes["pruned_model_sparsity"],
         }
         common.log_stats(stats, args.get("output_dir", ""))
+        common.save_full_state(args.get("output_dir", ""), state, {"epoch": epoch})
         if val_results["r_mean"] >= best:
             best, best_epoch = val_results["r_mean"], epoch
             common.save_training_state(

@@ -123,10 +123,16 @@ def main(args: Config, config: Config) -> dict:
         config.get("vqa_root", ""), config.get("vg_root", ""), split="train",
         seed=args.get("seed", 42),
     )
-    bs = int(args.get("bs") or config.get("batch_size_train", 8))
+    # per-device batch (reference per-GPU bs, Eff_VQA.py:326-328) × local
+    # chips; the collate builds one self-consistent answer block per chip
+    n_dev = jax.local_device_count()
+    bs = int(args.get("bs") or config.get("batch_size_train", 8)) * n_dev
+    from functools import partial
+
     train_loader = SimpleLoader(
         train_ds, batch_size=bs, shuffle=True, drop_last=True,
-        rank=info["rank"], world_size=info["world_size"], collate_fn=vqa_collate,
+        rank=info["rank"], world_size=info["world_size"],
+        collate_fn=partial(vqa_collate, n_shards=n_dev),
     )
     epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 10))
     steps_per_epoch = max(len(train_loader), 1)
@@ -153,30 +159,55 @@ def main(args: Config, config: Config) -> dict:
             rng=rng, output_attentions=True, output_hidden_states=True, train=False,
         )
 
-    stop_prune_epoch = args.get("stop_prune_epoch")
-    step_fn = jax.jit(make_task_train_step(
-        student_forward, teacher_forward,
-        lambda s, t: vqa_kd_losses(s, t, fusion_layer_s=fusion_s, fusion_layer_t=fusion_t,
-                                   temperature=float(args.get("temperature", 1.0))),
-        l0, optimizers, teacher_params=tparams,
-        task_weight=0.6, kd_weight=0.4,
-        stop_prune_step=(int(stop_prune_epoch) * steps_per_epoch) if stop_prune_epoch else None,
-    ))
+    kd_fn = lambda s, t: vqa_kd_losses(  # noqa: E731
+        s, t, fusion_layer_s=fusion_s, fusion_layer_t=fusion_t,
+        temperature=float(args.get("temperature", 1.0)),
+    )
 
-    rng = jax.random.PRNGKey(int(args.get("seed", 42)))
-    for epoch in range(epochs):
+    def build_step(frozen_zs=None):
+        return common.data_parallel_step(make_task_train_step(
+            student_forward, teacher_forward, kd_fn,
+            l0, optimizers, teacher_params=tparams,
+            task_weight=0.6, kd_weight=0.4,
+            axis_name=common.dp_axis_name(), frozen_zs=frozen_zs,
+        ))
+
+    step_fn, mesh, _ = build_step()
+
+    start_epoch = 0
+    if args.get("resume") and args.get("output_dir"):
+        restored = common.restore_full_state(args["output_dir"], state)
+        if restored is not None:
+            state, extra = restored
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
+
+    stop_prune_epoch = args.get("stop_prune_epoch")
+    start_eval = int(config.get("start_eval", 0))
+    base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    frozen_zs = None
+    for epoch in range(start_epoch, epochs):
+        if (stop_prune_epoch is not None and epoch >= int(stop_prune_epoch)
+                and frozen_zs is None):
+            # stop_prune (Eff_VQA.py:375-378): freeze the deterministic
+            # binary gates into the step — post-freeze fine-tuning sees the
+            # exact network that will be exported
+            frozen_zs = l0.forward_deterministic({"loga": state.loga})
+            step_fn, mesh, _ = build_step(frozen_zs)
+            print(f"### stop_prune at epoch {epoch}: gates frozen deterministic")
         train_loader.set_epoch(epoch)
+        rng = jax.random.fold_in(base_rng, epoch)
         logger = MetricLogger()
         for images, questions, answers, weights, k_index in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
             q = tokenizer(list(questions), padding="max_length", truncation=True,
                           max_length=config.get("max_tokens", 40))
             a = tokenizer(list(answers), padding="max_length", truncation=True, max_length=20)
-            batch = {
+            batch = common.place_batch({
                 "image": jnp.asarray(images),
                 "q_ids": jnp.asarray(q["input_ids"]), "q_atts": jnp.asarray(q["attention_mask"]),
                 "a_ids": jnp.asarray(a["input_ids"]), "a_atts": jnp.asarray(a["attention_mask"]),
                 "weights": jnp.asarray(weights), "k_index": jnp.asarray(k_index),
-            }
+            }, mesh)
             rng, srng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, srng)
             logger.update(**{k: float(v) for k, v in metrics.items()})
@@ -189,4 +220,17 @@ def main(args: Config, config: Config) -> dict:
             args.get("output_dir", ""), epoch,
             {"model": state.params, "l0": {"loga": state.loga, **state.lam}, "epoch": epoch},
         )
+        common.save_full_state(args.get("output_dir", ""), state, {"epoch": epoch})
+        if epoch >= start_eval:
+            # per-epoch evaluation + cross-rank merge
+            # (Eff_VQA.py:217-240, 337-339, 396-405)
+            zs = frozen_zs if frozen_zs is not None else l0.forward_deterministic({"loga": state.loga})
+            results = evaluation(student, state.params, test_loader, tokenizer, config, zs=zs)
+            merged = collect_result(
+                results, f"vqa_result_epoch{epoch}", args.get("output_dir", "/tmp"),
+                rank=info["rank"], world_size=info["world_size"], save_result=True,
+            )
+            if merged is not None:
+                common.log_stats({"epoch": epoch, "eval_result_file": str(merged)},
+                                 args.get("output_dir", ""))
     return {"state": state}

@@ -157,6 +157,144 @@ def rouge_l(gts: Dict, res: Dict, beta: float = 1.2) -> float:
     return total / max(len(res), 1)
 
 
+# ---------------------------------------------------------------------------
+# METEOR (pure-Python)
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _porter_stem(w: str) -> str:
+    """Compact Porter stemmer (steps 1a/1b/1c + common step-2..4 suffixes) —
+    enough for METEOR's stem-match stage; not a full linguistics package."""
+    if len(w) <= 2:
+        return w
+
+    def has_vowel(s):
+        return any(c in _VOWELS or (c == "y" and i > 0) for i, c in enumerate(s))
+
+    def measure(s):
+        m, prev_v = 0, False
+        for i, c in enumerate(s):
+            v = c in _VOWELS or (c == "y" and i > 0 and s[i - 1] not in _VOWELS)
+            if prev_v and not v:
+                m += 1
+            prev_v = v
+        return m
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and has_vowel(w[:-2]):
+        w = w[:-2]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif len(w) > 1 and w[-1] == w[-2] and w[-1] not in "lsz":
+            w = w[:-1]
+        elif measure(w) == 1 and len(w) >= 3 and w[-1] not in _VOWELS + "wxy" and w[-2] in _VOWELS and w[-3] not in _VOWELS:
+            w += "e"
+    elif w.endswith("ing") and has_vowel(w[:-3]):
+        w = w[:-3]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif len(w) > 1 and w[-1] == w[-2] and w[-1] not in "lsz":
+            w = w[:-1]
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # a few high-frequency step-2/3/4 suffixes
+    for suf, rep, min_m in (
+        ("ational", "ate", 0), ("tional", "tion", 0), ("ization", "ize", 0),
+        ("fulness", "ful", 0), ("ousness", "ous", 0), ("iveness", "ive", 0),
+        ("biliti", "ble", 0), ("aliti", "al", 0), ("ation", "ate", 0),
+        ("alism", "al", 0), ("ement", "", 1), ("ment", "", 1), ("ness", "", 0),
+        ("icate", "ic", 0), ("ative", "", 1), ("alize", "al", 0),
+        ("ful", "", 0), ("ance", "", 1), ("ence", "", 1), ("able", "", 1),
+        ("ible", "", 1), ("ant", "", 1), ("ion", "", 1), ("ous", "", 1),
+        ("ive", "", 1), ("ize", "", 1), ("al", "", 1), ("er", "", 1),
+        ("ic", "", 1),
+    ):
+        if w.endswith(suf) and measure(w[: -len(suf)]) > min_m:
+            w = w[: -len(suf)] + rep
+            break
+    return w
+
+
+def _meteor_match(cand: List[str], ref: List[str]):
+    """Two-stage greedy alignment (exact, then Porter stem), each stage
+    matching left-to-right and preferring the reference position nearest
+    after the previous match (keeps chunks low). Returns (m, chunks)."""
+    used = [False] * len(ref)
+    align = [-1] * len(cand)
+
+    def run_stage(key_c, key_r):
+        last = -1
+        for i, tc in enumerate(key_c):
+            if align[i] >= 0:
+                last = align[i]
+                continue
+            best = -1
+            for j, tr in enumerate(key_r):
+                if used[j] or tc != tr:
+                    continue
+                if best < 0 or abs(j - (last + 1)) < abs(best - (last + 1)):
+                    best = j
+            if best >= 0:
+                align[i] = best
+                used[best] = True
+                last = best
+
+    run_stage(cand, ref)
+    run_stage([_porter_stem(t) for t in cand], [_porter_stem(t) for t in ref])
+
+    matched = [(i, j) for i, j in enumerate(align) if j >= 0]
+    m = len(matched)
+    if m == 0:
+        return 0, 0
+    chunks = 1
+    for (i0, j0), (i1, j1) in zip(matched, matched[1:]):
+        if not (i1 == i0 + 1 and j1 == j0 + 1):
+            chunks += 1
+    return m, chunks
+
+
+def meteor(gts: Dict, res: Dict, *, alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
+    """Pure-Python METEOR (exact + Porter-stem matchers; no WordNet synonyms
+    or paraphrase tables, so scores run slightly below the java METEOR 1.5
+    the reference vendors in refTools/evaluation/meteor — a documented
+    approximation, not a silent None). Classic formula: Fmean with
+    recall weight alpha, fragmentation penalty gamma*(chunks/m)^beta;
+    multiple references take the max."""
+    total = 0.0
+    for iid in res:
+        cand = ptb_tokenize(res[iid][0])
+        best = 0.0
+        for r in gts[iid]:
+            ref = ptb_tokenize(r)
+            if not cand or not ref:
+                continue
+            m, chunks = _meteor_match(cand, ref)
+            if m == 0:
+                continue
+            p = m / len(cand)
+            q = m / len(ref)
+            fmean = p * q / (alpha * p + (1 - alpha) * q)
+            frag = gamma * (chunks / m) ** beta if m else 0.0
+            best = max(best, fmean * (1.0 - frag))
+        total += best
+    return total / max(len(res), 1)
+
+
 def coco_caption_eval(annotations: List[dict], results: List[dict]) -> dict:
     """reference dataset/utils.py:356-382 interface: annotations/results are
     [{'image_id', 'caption'}]. Returns the COCO metric dict."""
@@ -174,6 +312,9 @@ def coco_caption_eval(annotations: List[dict], results: List[dict]) -> dict:
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
         "ROUGE_L": rouge_l(gts, res),
         "CIDEr": cider,
-        "METEOR": None,  # java scorer unavailable in this environment
+        "METEOR": meteor(gts, res),  # pure-Python (exact+stem); see meteor()
+        # SPICE needs a java scene-graph parser (reference refTools) — the
+        # one metric this environment cannot reproduce; reported as None
+        # rather than silently dropped.
         "SPICE": None,
     }

@@ -130,6 +130,26 @@ class XVLMForCaptioning:
             "logits_dict": {"logits": logits},
         }
 
+    def forward_logits(
+        self, params, image, caption_ids, caption_atts, *, zs=None, rng=None,
+        dtype=None, impl="xla",
+    ) -> Array:
+        """Teacher-forced decoder logits [B, L, V] on given token ids — the
+        SCST logprob path (one parallel forward instead of the reference's
+        per-step logprob accumulation during sampling)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        vrng, drng = jax.random.split(rng)
+        image_embeds, image_atts, _ = self.encode_image(
+            params, image, zs=zs, rng=vrng, dtype=dtype, impl=impl,
+        )
+        out = B.bert_apply(
+            params["text_decoder"], caption_ids, self.text_cfg,
+            attention_mask=caption_atts, encoder_hidden=image_embeds,
+            encoder_attention_mask=image_atts, mode="multi_modal", is_decoder=True,
+            rng=drng, dtype=dtype, impl=impl, **_text_stack_zs(zs),
+        )
+        return B.mlm_head_apply(params["text_decoder"]["cls"], out["last_hidden"], self.text_cfg, dtype=dtype)
+
     def generate(
         self, params, image, prompt_ids, *, max_length: int = 30, min_length: int = 10,
         num_beams: int = 1, do_sample: bool = False, top_p: float = 0.9,

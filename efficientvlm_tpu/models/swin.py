@@ -103,8 +103,13 @@ def _shift_mask(h: int, wd: int, w: int, shift: int) -> np.ndarray:
         for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
             img[:, hs, ws, :] = cnt
             cnt += 1
-    wins = _window_partition(jnp.asarray(img), w).reshape(-1, w * w)
-    wins = np.asarray(wins)
+    # pure-numpy window partition: this mask is a compile-time constant and
+    # must not trace (swin_apply may run under jit)
+    wins = (
+        img.reshape(1, h // w, w, wd // w, w, 1)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(-1, w * w)
+    )
     mask = (wins[:, None, :] - wins[:, :, None]) != 0
     return np.where(mask, -100.0, 0.0).astype(np.float32)
 

@@ -199,33 +199,87 @@ def prune_xvlm_params(params: dict, zs: dict, *, fusion_layer: int, head_dim: in
     return new
 
 
-def load_zs_from_params(params: dict, *, num_heads: int, intermediate_size: int, head_dim: int = 64):
-    """Reconstruct binary gate masks from sliced weight shapes — which heads
-    survived cannot be recovered, only how many; used for size accounting
-    (reference load_zs / load_pruned_model, xvlm_utils.py:247-299)."""
-    def layer_mask(lp, key):
+def load_zs_from_params(
+    params: dict,
+    *,
+    num_heads: int,
+    intermediate_size: int,
+    head_dim: int = 64,
+    fusion_layer: Optional[int] = None,
+    vision_num_heads: Optional[int] = None,
+    vision_intermediate_size: Optional[int] = None,
+    decoder_groups: bool = False,
+):
+    """Reconstruct binary gate masks for EVERY tower from sliced weight
+    shapes — which heads survived cannot be recovered, only how many; used
+    for size accounting and for loading a standalone pruned checkpoint
+    (reference load_zs / load_pruned_model, xvlm_utils.py:247-299).
+
+    num_heads/intermediate_size are the UNPRUNED text-tower widths;
+    vision_* default to the same. fusion_layer splits the text stack into
+    text/cross groups (cross layers emit the [Lc,2,H] self/cross pair).
+    decoder_groups=True reads `text_decoder` as a VQA answer decoder
+    (all-cross, fusion_layer=0 — decoder_head_z/decoder_intermediate_z);
+    otherwise a text_decoder shares the text/cross layout (captioning)."""
+    v_heads = vision_num_heads or num_heads
+    v_inter = vision_intermediate_size or intermediate_size
+
+    def layer_mask(lp, key, n_heads):
         attn = lp.get(key)
         n = 0 if attn is None else attn["q"]["kernel"].shape[1] // head_dim
-        m = np.zeros(num_heads)
+        m = np.zeros(n_heads)
         m[:n] = 1
         return m
 
-    def mlp_mask(lp, key="intermediate", kernel_axis=1):
+    def mlp_mask(lp, key, size, kernel_axis=1):
         mod = lp.get(key)
         if mod is None:
-            return np.zeros(intermediate_size)
+            return np.zeros(size)
         if key == "mlp":
             n = mod["fc1"]["kernel"].shape[1]
         else:
             n = mod["kernel"].shape[kernel_axis]
-        m = np.zeros(intermediate_size)
+        m = np.zeros(size)
         m[:n] = 1
         return m
 
+    def bert_masks(tower: dict, fusion: int, prefix: str):
+        """(text groups, cross groups) for one fusion-BERT stack; with
+        fusion=0 everything lands in the `prefix` (cross-style) groups."""
+        out = {}
+        layers = tower["layers"]
+        text_layers = layers[:fusion]
+        cross_layers = layers[fusion:]
+        if text_layers:
+            out["text_head_z"] = np.stack(
+                [layer_mask(l, "attention", num_heads) for l in text_layers])
+            out["text_intermediate_z"] = np.stack(
+                [mlp_mask(l, "intermediate", intermediate_size) for l in text_layers])
+        if cross_layers:
+            out[f"{prefix}_head_z"] = np.stack([
+                np.stack([
+                    layer_mask(l, "attention", num_heads),
+                    layer_mask(l, "crossattention", num_heads),
+                ]) for l in cross_layers
+            ])
+            out[f"{prefix}_intermediate_z"] = np.stack(
+                [mlp_mask(l, "intermediate", intermediate_size) for l in cross_layers])
+        return out
+
     zs = {}
     if "vision" in params:
-        zs["vision_head_z"] = np.stack([layer_mask(l, "attn") for l in params["vision"]["layers"]])
+        zs["vision_head_z"] = np.stack(
+            [layer_mask(l, "attn", v_heads) for l in params["vision"]["layers"]])
         zs["vision_intermediate_z"] = np.stack(
-            [mlp_mask(l, "mlp") for l in params["vision"]["layers"]]
+            [mlp_mask(l, "mlp", v_inter) for l in params["vision"]["layers"]]
         )
+    if "text" in params and fusion_layer is not None:
+        zs.update(bert_masks(params["text"], fusion_layer, "cross"))
+    if "text_decoder" in params:
+        if decoder_groups:
+            dec = bert_masks(params["text_decoder"], 0, "decoder")
+            zs.update(dec)
+        elif fusion_layer is not None and "text" not in params:
+            # captioning: the decoder IS the text stack (text+cross layout)
+            zs.update(bert_masks(params["text_decoder"], fusion_layer, "cross"))
     return zs

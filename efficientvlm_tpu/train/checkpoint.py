@@ -165,6 +165,165 @@ def vit_params_from_state_dict(
     return params
 
 
+def interpolate_relative_pos_embed(rel_pos_bias, dst_num_pos: int) -> Array:
+    """Geometric-progression bicubic resize of a Swin relative-position bias
+    table [(2w-1)^2, nH] to a new window size (reference
+    models/swin_transformer.py:596-653, from the BEiT recipe). Source grid
+    points are geometrically spaced outward from the center; the target grid
+    is uniform."""
+    rel = np.asarray(rel_pos_bias, np.float32)
+    src_num_pos, num_heads = rel.shape
+    src_size = int(src_num_pos ** 0.5)
+    dst_size = int(dst_num_pos ** 0.5)
+    if src_size == dst_size:
+        return jnp.asarray(rel)
+
+    def geometric_progression(a, r, n):
+        return a * (1.0 - r ** n) / (1.0 - r)
+
+    left, right = 1.01, 1.5
+    while right - left > 1e-6:
+        q = (left + right) / 2.0
+        if geometric_progression(1, q, src_size // 2) > dst_size // 2:
+            right = q
+        else:
+            left = q
+    dis, cur = [], 1.0
+    for i in range(src_size // 2):
+        dis.append(cur)
+        cur += q ** (i + 1)
+    r_ids = [-v for v in reversed(dis)]
+    x = np.asarray(r_ids + [0] + dis)
+    t = dst_size // 2.0
+    dx = np.arange(-t, t + 0.1, 1.0)
+
+    from scipy.interpolate import RectBivariateSpline
+
+    cols = []
+    for h in range(num_heads):
+        z = rel[:, h].reshape(src_size, src_size)
+        f = RectBivariateSpline(x, x, z, kx=3, ky=3)
+        cols.append(f(dx, dx).reshape(-1, 1))
+    return jnp.asarray(np.concatenate(cols, axis=-1))
+
+
+def swin_params_from_state_dict(
+    sd: Dict[str, Array],
+    *,
+    depths,
+    window_size: int,
+) -> dict:
+    """Microsoft Swin-Transformer checkpoint -> our swin param tree
+    (reference models/xvlm.py:133-163: relative_position_bias_table
+    interpolated to the configured window, relative_position_index /
+    attn_mask buffers dropped, head.* ignored)."""
+    dst_num_pos = (2 * window_size - 1) ** 2
+    params: dict = {
+        "patch_embed": {
+            "kernel": jnp.asarray(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": jnp.asarray(sd["patch_embed.proj.bias"]),
+        },
+        "patch_norm": _ln(sd, "patch_embed.norm"),
+        "stages": [],
+        "norm": _ln(sd, "norm"),
+    }
+    for s, depth in enumerate(depths):
+        stage: dict = {"blocks": []}
+        for b in range(depth):
+            p = f"layers.{s}.blocks.{b}"
+            stage["blocks"].append({
+                "ln1": _ln(sd, f"{p}.norm1"),
+                "qkv": _dense(sd, f"{p}.attn.qkv"),
+                "proj": _dense(sd, f"{p}.attn.proj"),
+                "rel_bias": interpolate_relative_pos_embed(
+                    sd[f"{p}.attn.relative_position_bias_table"], dst_num_pos),
+                "ln2": _ln(sd, f"{p}.norm2"),
+                "fc1": _dense(sd, f"{p}.mlp.fc1"),
+                "fc2": _dense(sd, f"{p}.mlp.fc2"),
+            })
+        if f"layers.{s}.downsample.reduction.weight" in sd:
+            stage["downsample"] = {
+                "reduction": _dense(sd, f"layers.{s}.downsample.reduction"),
+                "norm": _ln(sd, f"layers.{s}.downsample.norm"),
+            }
+        params["stages"].append(stage)
+    return params
+
+
+def deit_params_from_state_dict(
+    sd: Dict[str, Array],
+    num_layers: int,
+    *,
+    num_patches: Optional[int] = None,
+) -> dict:
+    """DeiT (timm ViT) checkpoint -> our deit param tree (reference
+    models/xvlm.py:164-178: pos_embed interpolated; head.* ignored). The
+    fused qkv projection is split into q/k/v; 12->6 subsample supported for
+    a small-student DeiT like the CLIP path."""
+    n_ckpt = 1 + max(
+        int(m.group(1)) for m in (re.match(r"blocks\.(\d+)\.", k) for k in sd) if m
+    )
+    if n_ckpt == 12 and num_layers == 6:
+        sd = subsample_layers(sd, "blocks", LAYER_MAPPER_12_TO_6)
+    elif n_ckpt != num_layers:
+        raise ValueError(f"checkpoint has {n_ckpt} deit layers, target {num_layers}")
+
+    pos = jnp.asarray(sd["pos_embed"]).reshape(sd["pos_embed"].shape[-2], -1)
+    if num_patches is not None and pos.shape[0] != num_patches + 1:
+        from ..models.vit import interpolate_pos_embed
+
+        pos = interpolate_pos_embed(pos, num_patches)
+
+    params: dict = {
+        "patch_embed": {
+            "kernel": jnp.asarray(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": jnp.asarray(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": jnp.asarray(sd["cls_token"]).reshape(-1),
+        "pos_embed": {"embedding": pos},
+        "norm": _ln(sd, "norm"),
+        "layers": [],
+    }
+    for i in range(num_layers):
+        p = f"blocks.{i}"
+        qkv_w = np.asarray(sd[f"{p}.attn.qkv.weight"])  # [3D, D]
+        d = qkv_w.shape[1]
+        qw, kw, vw = qkv_w[:d], qkv_w[d:2 * d], qkv_w[2 * d:]
+        if f"{p}.attn.qkv.bias" in sd:
+            qkv_b = np.asarray(sd[f"{p}.attn.qkv.bias"])
+            qb, kb, vb = qkv_b[:d], qkv_b[d:2 * d], qkv_b[2 * d:]
+        else:
+            qb = kb = vb = np.zeros((d,), qkv_w.dtype)
+        params["layers"].append({
+            "ln1": _ln(sd, f"{p}.norm1"),
+            "attn": {
+                "q": {"kernel": jnp.asarray(qw.T), "bias": jnp.asarray(qb)},
+                "k": {"kernel": jnp.asarray(kw.T), "bias": jnp.asarray(kb)},
+                "v": {"kernel": jnp.asarray(vw.T), "bias": jnp.asarray(vb)},
+                "out": _dense(sd, f"{p}.attn.proj"),
+            },
+            "ln2": _ln(sd, f"{p}.norm2"),
+            "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")},
+        })
+    return params
+
+
+def alt_vision_params_from_file(path: str, config, vision_cfg) -> dict:
+    """Load a raw Swin / DeiT torch checkpoint into the vision param subtree
+    (reference build_vision_encoder(load_params=True), models/xvlm.py:133-178).
+    Dispatches on config['use_swin'] / config['use_deit']."""
+    sd = load_torch_state_dict(path)
+    if config.get("use_swin"):
+        return swin_params_from_state_dict(
+            sd, depths=vision_cfg["depths"], window_size=vision_cfg["window_size"],
+        )
+    if config.get("use_deit"):
+        return deit_params_from_state_dict(
+            sd, vision_cfg["num_hidden_layers"], num_patches=vision_cfg.num_patches,
+        )
+    raise ValueError("alt_vision_params_from_file: config selects neither swin nor deit")
+
+
 # ---------------------------------------------------------------------------
 # Text tower
 # ---------------------------------------------------------------------------
@@ -470,18 +629,40 @@ def xvlm_state_dict_from_params(params: dict, fusion_layer: int) -> Dict[str, Ar
 
 
 def save_pytree(path: str, tree) -> None:
+    """msgpack a pytree to local/HDFS/GCS (reference torch_io.py:25 writes
+    through an hdfs pipe; utils/io.hopen is the shim here). Namedtuples
+    (TrainState, optax states) are lowered via flax to_state_dict so full
+    training state round-trips."""
     from flax import serialization
 
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize(jax.tree.map(np.asarray, tree)))
+    from ..utils.io import hopen
+
+    if "://" not in path:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = serialization.msgpack_serialize(
+        jax.tree.map(np.asarray, serialization.to_state_dict(jax.device_get(tree)))
+    )
+    with hopen(path, "wb") as f:
+        f.write(payload)
 
 
 def load_pytree(path: str):
     from flax import serialization
 
-    with open(path, "rb") as f:
+    from ..utils.io import hopen
+
+    with hopen(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def restore_pytree_like(template, state_dict):
+    """Rebuild a structured pytree (e.g. a TrainState with optax optimizer
+    states) from a msgpack-restored nested dict, using `template` for the
+    treedef — the full-resume path the reference gets from torch.load
+    (GeneralDistill.py:512-520)."""
+    from flax import serialization
+
+    return serialization.from_state_dict(template, state_dict)
 
 
 class Checkpointer:

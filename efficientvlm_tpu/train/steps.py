@@ -330,14 +330,19 @@ def make_task_train_step(
     task_weight: float,
     kd_weight: float,
     axis_name: Optional[str] = None,
-    stop_prune_step: Optional[int] = None,
+    frozen_zs: Optional[dict] = None,
 ) -> Callable:
     """Generic stage-2 pruning fine-tune step shared by VQA / NLVR /
     captioning (Eff_VQA.py:74-214, Eff_NLVR.py:73-190, Eff_Captioning.py:
     74-180): loss = task_weight*task + kd_weight*KD + lagrangian; 3
-    optimizers; stop_prune freezes gate sampling into deterministic-like
-    behavior after stop_prune_step (Eff_VQA.py:375-378 approximated by
-    stopping L0/lambda updates and using the expected gates).
+    optimizers.
+
+    frozen_zs implements stop_prune (Eff_VQA.py:375-378 / efficient_models/
+    model_generation.py:98-103): the driver computes the deterministic gate
+    masks once at the stop epoch and rebuilds the step with them — the
+    student then fine-tunes against the EXACT binary network that will be
+    exported, the Lagrangian term is dropped, and gate/λ updates become
+    zero.
 
     student_forward(params, zs, batch, rng) -> outputs dict
     teacher_forward(teacher_params, batch, rng) -> outputs dict
@@ -346,14 +351,21 @@ def make_task_train_step(
 
     def loss_fn(params, loga, lam, batch, rng, step):
         zrng, srng, trng = jax.random.split(rng, 3)
-        zs = l0_module.forward_train({"loga": loga}, zrng)
+        if frozen_zs is not None:
+            zs = jax.tree.map(jax.lax.stop_gradient, frozen_zs)
+        else:
+            zs = l0_module.forward_train({"loga": loga}, zrng)
         student_outputs = student_forward(params, zs, batch, srng)
         teacher_outputs = teacher_forward(jax.lax.stop_gradient(teacher_params), batch, trng)
         kd = kd_fn(student_outputs, teacher_outputs)
         loss_task = student_outputs["loss"]
-        lagrangian_loss, expected_sparsity, target_sparsity = (
-            l0_module.lagrangian_regularization({"loga": loga, **lam}, step)
-        )
+        if frozen_zs is not None:
+            lagrangian_loss = jnp.zeros(())
+            expected_sparsity = target_sparsity = jnp.zeros(())
+        else:
+            lagrangian_loss, expected_sparsity, target_sparsity = (
+                l0_module.lagrangian_regularization({"loga": loga, **lam}, step)
+            )
         loss = task_weight * loss_task + kd_weight * kd["loss_kd"] + lagrangian_loss
         metrics = {
             "loss": loss, "loss_task": loss_task,
@@ -370,14 +382,16 @@ def make_task_train_step(
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
-        if stop_prune_step is not None:
-            # freeze gate learning after stop_prune_step
-            frozen = state.step >= stop_prune_step
-            gp, gl, glam = grads
-            gl = jax.tree.map(lambda g: jnp.where(frozen, 0.0, g), gl)
-            glam = jax.tree.map(lambda g: jnp.where(frozen, 0.0, g), glam)
-            grads = (gp, gl, glam)
-        state = apply_updates_3way(state, grads, optimizers)
+        if frozen_zs is not None:
+            # post-freeze: only the main optimizer steps (the reference stops
+            # calling l0/lagrangian .step() entirely)
+            opt = optimizers[0]
+            u, opt_state = opt.update(grads[0], state.opt_state, state.params)
+            params = optax.apply_updates(state.params, u)
+            state = TrainState(params, state.loga, state.lam, opt_state,
+                               state.l0_state, state.lam_state, state.step + 1)
+        else:
+            state = apply_updates_3way(state, grads, optimizers)
         return state, metrics
 
     return train_step

@@ -70,6 +70,8 @@ def main(argv=None):
     parser.add_argument("--sparsity", default=None, type=float)
     parser.add_argument("--temperature", default=1.0, type=float)
     parser.add_argument("--stop_prune_epoch", default=None, type=int)
+    parser.add_argument("--scst", action="store_true",
+                        help="Self-critical sequence training (captioning)")
     parser.add_argument("--evaluate", action="store_true")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--load_nlvr_pretrain", action="store_true")

@@ -38,7 +38,7 @@ def tiny_config(tmp_path, **extra):
         "temp": 0.07,
         "max_tokens": 12,
         "text_encoder": "",  # fallback WordPiece tokenizer
-        "batch_size_train": 4,
+        "batch_size_train": 2,  # per-device; ×8 local devices = host batch 16
         "batch_size_test": 4,
         "batch_size_test_text": 8,
         "k_test": 4,
@@ -67,8 +67,8 @@ def test_retrieval_driver(tmp_path, args):
     from efficientvlm_tpu.drivers import retrieval
 
     img_root = str(tmp_path / "imgs")
-    write_images(img_root, 8)
-    train_ann = [{"image": f"{i}.jpg", "caption": f"a dog photo {i}", "image_id": f"im{i}"} for i in range(8)]
+    write_images(img_root, 16)
+    train_ann = [{"image": f"{i}.jpg", "caption": f"a dog photo {i}", "image_id": f"im{i}"} for i in range(16)]
     eval_ann = [{"image": f"{i}.jpg", "caption": [f"a dog {i}", f"photo {i}"]} for i in range(4)]
     json.dump(train_ann, open(tmp_path / "train.json", "w"))
     json.dump(eval_ann, open(tmp_path / "val.json", "w"))
@@ -88,9 +88,9 @@ def test_nlvr_driver(tmp_path, args):
     from efficientvlm_tpu.drivers import nlvr
 
     img_root = str(tmp_path / "imgs")
-    write_images(img_root, 8)
-    ann = [{"images": [f"{i}.jpg", f"{(i+1) % 8}.jpg"], "sentence": f"two images {i}",
-            "label": "True" if i % 2 else "False"} for i in range(8)]
+    write_images(img_root, 16)
+    ann = [{"images": [f"{i}.jpg", f"{(i+1) % 16}.jpg"], "sentence": f"two images {i}",
+            "label": "True" if i % 2 else "False"} for i in range(16)]
     json.dump(ann, open(tmp_path / "nlvr.json", "w"))
     cfg = tiny_config(
         tmp_path,
@@ -107,8 +107,8 @@ def test_captioning_driver(tmp_path, args):
     from efficientvlm_tpu.drivers import captioning
 
     img_root = str(tmp_path / "imgs")
-    write_images(img_root, 8)
-    train_ann = [{"image": f"{i}.jpg", "caption": f"a dog in photo {i}", "image_id": f"im{i}"} for i in range(8)]
+    write_images(img_root, 16)
+    train_ann = [{"image": f"{i}.jpg", "caption": f"a dog in photo {i}", "image_id": f"im{i}"} for i in range(16)]
     eval_ann = [{"image": f"COCO_val_00000{i}.jpg"} for i in range(4)]
     # eval images must exist under image_root with those names
     for i in range(4):
@@ -136,9 +136,9 @@ def test_vqa_driver(tmp_path, args):
     from efficientvlm_tpu.drivers import vqa
 
     img_root = str(tmp_path / "imgs")
-    write_images(img_root, 8)
+    write_images(img_root, 16)
     train_ann = [{"image": f"{i}.jpg", "question": f"what is in photo {i}?",
-                  "answer": ["dog", "dog"], "question_id": i} for i in range(8)]
+                  "answer": ["dog", "dog"], "question_id": i} for i in range(16)]
     test_ann = [{"image": f"{i}.jpg", "question": f"what is this {i}?", "question_id": i}
                 for i in range(4)]
     json.dump(train_ann, open(tmp_path / "vt.json", "w"))
@@ -186,7 +186,7 @@ def test_gd_driver(tmp_path, args):
         train_file_regions=None,
         train_dataset_size=12,
         images={"image_key": "binary", "is_image_rpath": False, "caption_key": "caption",
-                "batch_size": 4},
+                "batch_size": 1},  # per-device; host stream batch = 8
         max_words=12, max_masks=3, mask_prob=0.25,
         ckpt_frequent_step=2,
     )

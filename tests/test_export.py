@@ -103,3 +103,61 @@ def test_export_handles_dead_mlp():
     imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
     out = V.vit_apply(pruned, imgs, cfg)["last_hidden"]
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_zs_reconstruct_all_towers():
+    """Pruned shapes -> per-layer gate counts for vision/text/cross/decoder
+    (reference load_zs/load_pruned_model, xvlm_utils.py:247-299)."""
+    from efficientvlm_tpu.pruning.export import load_zs_from_params, prune_xvlm_params
+
+    vcfg = VisionConfig.create(
+        vision_width=64, num_attention_heads=4, intermediate_size=96,
+        num_hidden_layers=2, image_res=16, patch_size=8,
+    )
+    tcfg = TextConfig.create(
+        vocab_size=60, hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=96, encoder_width=64, max_position_embeddings=32,
+    )
+    params = {
+        "vision": V.init_vit(jax.random.PRNGKey(0), vcfg),
+        "text": B.init_bert(jax.random.PRNGKey(1), tcfg),
+    }
+    rng = np.random.RandomState(7)
+    zs = {
+        "vision_head_z": _binary(rng, (2, 4)),
+        "vision_intermediate_z": _binary(rng, (2, 96)),
+        "text_head_z": _binary(rng, (2, 4)),
+        "text_intermediate_z": _binary(rng, (2, 96)),
+        "cross_head_z": _binary(rng, (2, 2, 4)),
+        "cross_intermediate_z": _binary(rng, (2, 96)),
+    }
+    pruned = prune_xvlm_params(params, zs, fusion_layer=2, head_dim=HEAD_DIM)
+    got = load_zs_from_params(
+        pruned, num_heads=4, intermediate_size=96, head_dim=HEAD_DIM,
+        fusion_layer=2, vision_num_heads=4, vision_intermediate_size=96,
+    )
+    for key in zs:
+        want = zs[key].sum(axis=-1)
+        have = got[key].sum(axis=-1)
+        np.testing.assert_array_equal(want, have, err_msg=key)
+
+    # VQA decoder layout: all-cross stack driven by decoder_* groups
+    dcfg = TextConfig.create(
+        vocab_size=60, hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=96, encoder_width=64, max_position_embeddings=32,
+        fusion_layer=0,
+    )
+    dec_params = {"text_decoder": B.init_bert(jax.random.PRNGKey(2), dcfg)}
+    dzs = {
+        "decoder_head_z": _binary(rng, (4, 2, 4)),
+        "decoder_intermediate_z": _binary(rng, (4, 96)),
+    }
+    dpruned = prune_xvlm_params(dec_params, dzs, fusion_layer=2, head_dim=HEAD_DIM)
+    dgot = load_zs_from_params(
+        dpruned, num_heads=4, intermediate_size=96, head_dim=HEAD_DIM,
+        decoder_groups=True,
+    )
+    np.testing.assert_array_equal(
+        dzs["decoder_head_z"].sum(axis=-1), dgot["decoder_head_z"].sum(axis=-1))
+    np.testing.assert_array_equal(
+        dzs["decoder_intermediate_z"].sum(axis=-1), dgot["decoder_intermediate_z"].sum(axis=-1))

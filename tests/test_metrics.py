@@ -71,3 +71,30 @@ def test_iou_and_nlvr():
     preds = np.asarray([[0.9, 0.1], [0.2, 0.8], [0.7, 0.3]])
     targets = np.asarray([0, 1, 1])
     assert abs(nlvr_accuracy(preds, targets) - 100 * 2 / 3) < 1e-6
+
+
+def test_meteor_ordering_and_range():
+    """Pure-Python METEOR: perfect > partial > disjoint, all in [0,1], and
+    coco_caption_eval no longer reports it as None."""
+    from efficientvlm_tpu.evaluation.caption_metrics import coco_caption_eval, meteor
+
+    gts = {1: ["a dog is running in the park"], 2: ["two cats sit on a mat"]}
+    perfect = meteor(gts, {1: ["a dog is running in the park"], 2: ["two cats sit on a mat"]})
+    partial = meteor(gts, {1: ["the dog runs in a park"], 2: ["a cat sitting on the mat"]})
+    disjoint = meteor(gts, {1: ["quantum flux capacitor"], 2: ["synergy paradigm blockchain"]})
+    assert 0.99 < perfect <= 1.0
+    assert 0.2 < partial < perfect
+    assert disjoint < 0.05
+
+    ann = [{"image_id": 1, "caption": "a dog is running in the park"}]
+    out = coco_caption_eval(ann, [{"image_id": 1, "caption": "a dog runs in the park"}])
+    assert out["METEOR"] is not None and 0.0 < out["METEOR"] <= 1.0
+
+
+def test_meteor_stem_matching():
+    """Morphological variants align through the Porter stage."""
+    from efficientvlm_tpu.evaluation.caption_metrics import meteor
+
+    gts = {1: ["children playing with toys"]}
+    stemmed = meteor(gts, {1: ["child plays with toy"]})
+    assert stemmed > 0.3
