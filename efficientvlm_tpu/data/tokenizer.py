@@ -106,7 +106,9 @@ class WordPieceTokenizer:
         return [self.vocab.get(t, self.vocab[self.unk_token]) for t in tokens]
 
     def convert_ids_to_tokens(self, ids) -> List[str]:
-        return [self.ids_to_tokens[int(i)] for i in ids]
+        # ids beyond the vocab (a model head can be wider than the
+        # tokenizer, e.g. sampling from an untrained tiny model) -> [UNK]
+        return [self.ids_to_tokens.get(int(i), self.unk_token) for i in ids]
 
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
         toks = self.convert_ids_to_tokens(ids)

@@ -112,27 +112,27 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim", "interpret"))
 def _fused_mha_padded(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
-                      num_heads: int, interpret: bool):
+                      num_heads: int, head_dim: int, interpret: bool):
     b, t, d = hidden.shape
-    head_dim = d // num_heads
+    a = wq.shape[1]  # attention width — num_heads*head_dim, < d after pruning
+    assert a == num_heads * head_dim, (a, num_heads, head_dim)
     scale = head_dim ** -0.5
     grid = (b,)
     kernel = _fused_kernel(num_heads, head_dim, scale)
-    full = lambda *_: tuple(0 for _ in _)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, t, d), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((d, d), lambda bi: (0, 0)),
-            pl.BlockSpec((d, d), lambda bi: (0, 0)),
-            pl.BlockSpec((d, d), lambda bi: (0, 0)),
-            pl.BlockSpec((d, d), lambda bi: (0, 0)),
-            pl.BlockSpec((1, d), lambda bi: (0, 0)),
-            pl.BlockSpec((1, d), lambda bi: (0, 0)),
-            pl.BlockSpec((1, d), lambda bi: (0, 0)),
+            pl.BlockSpec((d, a), lambda bi: (0, 0)),
+            pl.BlockSpec((d, a), lambda bi: (0, 0)),
+            pl.BlockSpec((d, a), lambda bi: (0, 0)),
+            pl.BlockSpec((a, d), lambda bi: (0, 0)),
+            pl.BlockSpec((1, a), lambda bi: (0, 0)),
+            pl.BlockSpec((1, a), lambda bi: (0, 0)),
+            pl.BlockSpec((1, a), lambda bi: (0, 0)),
             pl.BlockSpec((1, 1, t), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, num_heads), lambda bi: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -146,8 +146,8 @@ def _fused_mha_padded(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
             vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * d * d * 4 + 4 * b * num_heads * t * t * head_dim,
-            bytes_accessed=(hidden.size * 2 + 4 * d * d) * hidden.dtype.itemsize,
+            flops=2 * b * t * d * a * 4 + 4 * b * num_heads * t * t * head_dim,
+            bytes_accessed=(hidden.size * 2 + 4 * d * a) * hidden.dtype.itemsize,
             transcendentals=b * num_heads * t * t,
         ),
         interpret=interpret,
@@ -166,8 +166,12 @@ def fused_self_attention(
     """Fused self-attention layer over attention params {'q','k','v','out'}
     (each {'kernel','bias'}); hidden [B,T,D]; mask [B,T] (1=attend) or
     key_bias [B,T] additive; head_z [num_heads] or None. Equivalent to
-    multi_head_attention(...)[0] for self-attention without dropout."""
+    multi_head_attention(...)[0] for self-attention without dropout.
+
+    Supports RECTANGULAR projections (q kernel [D, A], A = num_heads *
+    head_dim < D) — the physically-pruned export's layer shapes."""
     b, t, d = hidden.shape
+    head_dim = params["q"]["kernel"].shape[1] // num_heads
     t_p = _round_up(max(t, 8), LANE)
     pad_t = t_p - t
     x = jnp.pad(hidden, ((0, 0), (0, pad_t), (0, 0))) if pad_t else hidden
@@ -191,7 +195,7 @@ def fused_self_attention(
         params["v"]["kernel"].astype(dt), params["out"]["kernel"].astype(dt),
         params["q"]["bias"].reshape(1, -1), params["k"]["bias"].reshape(1, -1),
         params["v"]["bias"].reshape(1, -1),
-        kb, gates, num_heads=num_heads, interpret=interpret,
+        kb, gates, num_heads=num_heads, head_dim=head_dim, interpret=interpret,
     )
     out = out[:, :t] if pad_t else out
     return out + params["out"]["bias"].astype(out.dtype)

@@ -52,3 +52,45 @@ def test_bert_impl_fused_equals_xla():
     a = B.bert_apply(params, ids, cfg, impl="xla", **kw)["last_hidden"]
     b = B.bert_apply(params, ids, cfg, impl="fused", **kw)["last_hidden"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_fused_rectangular_pruned_widths():
+    """Physically-pruned attention (q kernel [D, A], A < D) through the
+    fused kernel must match the XLA path — this is the pruned-export
+    inference configuration (prune_xvlm_params), which the kernel used to
+    mis-tile when it derived head_dim from the hidden width."""
+    D, H = 128, 2
+    params = init_attention(jax.random.PRNGKey(0), D, H)
+    # slice away head 1 -> A = 64, one head of head_dim 64
+    pruned = {
+        name: {"kernel": params[name]["kernel"][:, :64], "bias": params[name]["bias"][:64]}
+        for name in ("q", "k", "v")
+    }
+    pruned["out"] = {"kernel": params["out"]["kernel"][:64, :], "bias": params["out"]["bias"]}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 11, D)) * 0.05
+    mask = jnp.ones((2, 11), jnp.int32).at[1, 7:].set(0)
+
+    ref, _, _ = multi_head_attention(
+        pruned, x, num_heads=1, bias=make_attention_bias(mask))
+    out = fused_self_attention(pruned, x, num_heads=1, mask=mask)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=3e-5)
+
+
+def test_vit_fused_equals_xla_after_prune():
+    """End-to-end: pruned-export ViT, fused impl == xla impl."""
+    from efficientvlm_tpu.pruning.export import prune_vit_params
+
+    cfg = VisionConfig.create(
+        vision_width=128, num_attention_heads=2, intermediate_size=128,
+        num_hidden_layers=2, image_res=16, patch_size=8,
+    )
+    params = V.init_vit(jax.random.PRNGKey(0), cfg)
+    zs = {
+        "vision_head_z": np.asarray([[1.0, 0.0], [1.0, 1.0]]),
+        "vision_intermediate_z": np.ones((2, 128), np.float32),
+    }
+    pruned = prune_vit_params(params, zs, head_dim=64)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    a = V.vit_apply(pruned, imgs, cfg, impl="xla")["last_hidden"]
+    b = V.vit_apply(pruned, imgs, cfg, impl="fused")["last_hidden"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

@@ -33,12 +33,16 @@ def test_scst_rewards_leave_one_out():
 
 def test_scst_rewards_greedy_baseline():
     crit = ScstRewardCriterion(sample_n=2, baseline_type="greedy")
-    gts = [["a dog runs in the park"]]
-    sampled = ["a dog runs in the park", "banana quantum flux"]
-    greedy = ["banana quantum flux"]  # bad greedy -> positive advantage for good sample
+    # two images so CIDEr idf is non-degenerate (single-ref corpus idf = 0)
+    gts = [["a dog runs in the park"], ["a cat sleeps on the mat"]]
+    sampled = [
+        "a dog runs in the park", "banana quantum flux",
+        "a cat sleeps on the mat", "banana quantum flux",
+    ]
+    greedy = ["banana quantum flux", "banana quantum flux"]  # bad baselines
     adv = crit.rewards(gts, sampled, greedy)
-    assert adv[0] > 0
-    assert adv[1] == pytest.approx(0.0, abs=1e-6)  # same as baseline
+    assert adv[0] > 0 and adv[2] > 0  # good samples beat the bad greedy
+    assert adv[1] == pytest.approx(0.0, abs=1e-5)  # junk == junk baseline
 
 
 def test_sequence_logprobs_masking():
@@ -97,7 +101,7 @@ def test_scst_grad_increases_positive_advantage_logprob():
         logits = model.forward_logits(
             params, jnp.repeat(image, K, axis=0), tokens, (tokens != 0).astype(jnp.int32))
         lp = sequence_logprobs(logits, tokens, prompt_length=2, eos_id=9, pad_id=0)
-        return float(jnp.asarray(lp)[rows].mean())
+        return float(np.asarray(lp)[np.asarray(rows)].mean())
 
     good_before = mean_logprob(params, [0, 2])
     bad_before = mean_logprob(params, [1, 3])
