@@ -1,29 +1,37 @@
-"""Benchmark: retrieval inference throughput (pairs/sec/chip) on the student.
+"""Benchmark: pruned-student retrieval inference throughput (pairs/sec/chip).
 
 Measures the eval-path unit of work (Eff_Retrieval.py:216-332): image encode
-+ text encode + ITC features + ITM fusion rescore for a batch of pairs, on
-the 6L/6L student at 384px in bf16 with the Pallas fused-attention path.
++ text encode + ITC features + ITM fusion rescore at 384px bf16 with the
+Pallas fused-attention path, for THREE models:
+  - teacher: dense 12L/12L (the paper's speedup baseline)
+  - student: dense 6L/6L (general-distilled)
+  - pruned:  6L/6L physically exported at the ITR sparsity target 0.25
+    (BASELINE.md), MXU-aligned slicing
+plus the stage-2 KD train-step time (BASELINE's second metric).
+
+Each phase runs in its OWN subprocess — the remote compile helper dies when
+one process compiles several large programs back-to-back (CLAUDE.md).
 
 Prints ONE JSON line:
-  {"metric": "retrieval_pairs_per_sec_per_chip", "value": N,
-   "unit": "pairs/s", "vs_baseline": R}
-vs_baseline = student throughput / dense 12L/12L teacher throughput on the
-same chip (the reference paper's headline is ~2.2x student-vs-teacher
-inference speedup; BASELINE.json publishes no absolute numbers).
+  {"metric": "pruned_retrieval_pairs_per_sec_per_chip", "value": N,
+   "unit": "pairs/s", "vs_baseline": R, ...}
+vs_baseline = pruned-student / dense-teacher throughput — the unit of the
+paper's ~2.2x inference-speedup headline (arXiv:2210.07795, README.md:114).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
-from efficientvlm_tpu.models.model_retrieval import XVLMForRetrieval
-from efficientvlm_tpu.models.xvlm import mlp_head_apply
 
 
 def build(num_vision_layers, num_text_layers, image_res=384):
+    import jax
+
+    from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+    from efficientvlm_tpu.models.model_retrieval import XVLMForRetrieval
+
     vcfg = VisionConfig.create(num_hidden_layers=num_vision_layers, image_res=image_res)
     tcfg = TextConfig.create(
         num_hidden_layers=num_text_layers,
@@ -37,7 +45,12 @@ def build(num_vision_layers, num_text_layers, image_res=384):
     return model, params
 
 
-def retrieval_forward(model, params, image, text_ids, text_atts, impl="pallas", dtype=jnp.bfloat16):
+def retrieval_forward(model, params, image, text_ids, text_atts, impl="fused", dtype=None):
+    import jax.numpy as jnp
+
+    from efficientvlm_tpu.models.xvlm import mlp_head_apply
+
+    dtype = dtype or jnp.bfloat16
     image_embeds, image_atts, _ = model.get_vision_embeds(params, image, dtype=dtype, impl=impl)
     tout = model.get_text_embeds(params, text_ids, text_atts, dtype=dtype, impl=impl)
     text_embeds = tout["last_hidden"]
@@ -53,13 +66,15 @@ def retrieval_forward(model, params, image, text_ids, text_atts, impl="pallas", 
 def bench_model(model, params, batch=32, image_res=384, iters=20, impl="fused"):
     """impl='fused': the Pallas fused QKV+attention+gating+out-proj layer
     kernel (ops/pallas_fused_mha.py) — ~27% over XLA's fusion at these
-    shapes; 'xla' and the standalone 'pallas' attention kernel remain
-    available."""
+    shapes, now supporting the pruned rectangular widths; 'xla' and the
+    standalone 'pallas' attention kernel remain available."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     image = jax.random.normal(jax.random.PRNGKey(1), (batch, image_res, image_res, 3), jnp.bfloat16)
     text_ids = jax.random.randint(jax.random.PRNGKey(2), (batch, 40), 0, 30522)
     text_atts = jnp.ones((batch, 40), jnp.int32)
-
-    import numpy as np
 
     fwd = jax.jit(lambda p, i, ti, ta: retrieval_forward(model, p, i, ti, ta, impl=impl))
     out = fwd(params, image, text_ids, text_atts)
@@ -73,23 +88,86 @@ def bench_model(model, params, batch=32, image_res=384, iters=20, impl="fused"):
     return batch / dt
 
 
-def main():
-    student_model, student_params = build(6, 6)
-    teacher_model, teacher_params = build(12, 12)
-    # bf16 param storage: halves HBM param traffic at inference
-    cast = lambda p: jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p)
-    student_params = cast(student_params)
-    teacher_params = cast(teacher_params)
+def _cast_bf16(params):
+    import jax
+    import jax.numpy as jnp
 
-    student_tput = bench_model(student_model, student_params)
-    teacher_tput = bench_model(teacher_model, teacher_params)
+    # bf16 param storage: halves HBM param traffic at inference
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+
+
+def phase_teacher():
+    model, params = build(12, 12)
+    print(json.dumps({"tput": bench_model(model, _cast_bf16(params))}))
+
+
+def phase_student():
+    model, params = build(6, 6)
+    print(json.dumps({"tput": bench_model(model, _cast_bf16(params))}))
+
+
+def phase_pruned(sparsity=0.25):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_prune_probe import uniform_zs
+
+    from efficientvlm_tpu.pruning.export import prune_xvlm_params
+
+    model, params = build(6, 6)
+    zs = uniform_zs(sparsity)
+    params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
+    print(json.dumps({"tput": bench_model(model, _cast_bf16(params)), "sparsity": sparsity}))
+
+
+def phase_kd():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import scripts.bench_kd_step as k
+
+    k.main(batch=16)
+
+
+def _run_phase(phase: str, timeout=560):
+    env = dict(os.environ)
+    here = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=here,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"phase {phase} produced no JSON: {out.stdout[-500:]} {out.stderr[-500:]}")
+
+
+def main():
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+        {"teacher": phase_teacher, "student": phase_student,
+         "pruned": phase_pruned, "kd": phase_kd}[phase]()
+        return
+
+    teacher = _run_phase("teacher")["tput"]
+    student = _run_phase("student")["tput"]
+    pruned = _run_phase("pruned")["tput"]
+    try:
+        kd = _run_phase("kd")
+        kd_ms = kd.get("value")
+    except Exception:
+        kd_ms = None
 
     print(json.dumps({
-        "metric": "retrieval_pairs_per_sec_per_chip",
-        "value": round(student_tput, 2),
+        "metric": "pruned_retrieval_pairs_per_sec_per_chip",
+        "value": round(pruned, 2),
         "unit": "pairs/s",
-        "vs_baseline": round(student_tput / teacher_tput, 3),
+        "vs_baseline": round(pruned / teacher, 3),
+        "teacher_pairs_per_sec": round(teacher, 2),
+        "student_dense_pairs_per_sec": round(student, 2),
+        "pruned_sparsity": 0.25,
+        "student_vs_teacher": round(student / teacher, 3),
+        "kd_step_ms_b16_224px": kd_ms,
     }))
 
 

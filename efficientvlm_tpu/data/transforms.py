@@ -117,8 +117,19 @@ class ImageTransform:
     def test(cls, image_res: int):
         return cls(image_res, mode="test", hflip=False, randaug=False)
 
+    @classmethod
+    def uint8(cls, image_res: int, margin: float = 1.15):
+        """Device-preprocess mode: host does decode + resize to a slightly
+        larger fixed size ONLY; crop/flip/RandAugment/normalize run in-graph
+        (data/device_pipeline.preprocess_train). Output uint8 — 4x less
+        host->device traffic than f32 (BASELINE north star)."""
+        return cls(int(image_res * margin), mode="uint8", hflip=False, randaug=False)
+
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = img.convert("RGB")
+        if self.mode == "uint8":
+            img = img.resize((self.image_res, self.image_res), Image.BICUBIC)
+            return np.asarray(img, np.uint8)
         if self.mode == "test":
             img = img.resize((self.image_res, self.image_res), Image.BICUBIC)
         elif self.mode == "box":

@@ -45,10 +45,18 @@ def main(args: Config, config: Config) -> dict:
     # per-device batch (reference per-GPU bs, Pretrain_XVLM_small_4m.yaml
     # images.batch_size=128) × local chips = this host's stream batch
     n_dev = jax.local_device_count()
+    # device_preprocess: host decodes to uint8 only; crop/flip/RandAugment/
+    # normalize compile into the train step (BASELINE north star)
+    device_preprocess = bool(config.get("device_preprocess"))
+    transform = None
+    if device_preprocess:
+        from ..data.transforms import ImageTransform
+
+        transform = ImageTransform.uint8(config.get("image_res", 224))
     general_ds = PretrainImageTextDataset(
         config, config["train_file"], tokenizer,
         rank=info["rank"], world_size=info["world_size"], repeat=True,
-        seed=int(args.get("seed", 42)),
+        seed=int(args.get("seed", 42)), transform=transform,
     )
     general_ds.batch_size *= n_dev
     region_ds = None
@@ -82,10 +90,26 @@ def main(args: Config, config: Config) -> dict:
 
     temperature = float(args.get("temperature", 1.0))
     axis = common.dp_axis_name()
-    general_step, mesh, _ = common.data_parallel_step(make_gd_train_step(
+
+    def with_device_preprocess(step):
+        if not device_preprocess:
+            return step
+        from ..data.device_pipeline import preprocess_train
+
+        image_res = int(config.get("image_res", 224))
+
+        def wrapped(state, batch, rng):
+            prng, srng = jax.random.split(rng)
+            batch = dict(batch)
+            batch["image"] = preprocess_train(prng, batch["image"], image_res)
+            return step(state, batch, srng)
+
+        return wrapped
+
+    general_step, mesh, _ = common.data_parallel_step(with_device_preprocess(make_gd_train_step(
         student, teacher, optimizer, teacher_params=tparams, temperature=temperature,
         axis_name=axis,
-    ))
+    )))
     region_step = common.data_parallel_step(make_gd_train_step(
         student, teacher, optimizer, teacher_params=tparams, temperature=temperature,
         with_bbox=True, axis_name=axis,

@@ -1,17 +1,21 @@
-"""In-graph image preprocessing tests."""
+"""In-graph image preprocessing tests (full reference RandAugment table,
+dataset/randaugment.py func_dict/arg_dict)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from efficientvlm_tpu.data.device_pipeline import (
-    op_autocontrast,
-    op_brightness,
+    cutout,
+    make_randaug_ops,
     preprocess_eval,
     preprocess_train,
     randaugment,
 )
 from efficientvlm_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+OPS = {f.__name__: f for f in make_randaug_ops(0.7)}
+ONE = jnp.asarray(1.0)
 
 
 def test_preprocess_shapes_and_stats():
@@ -33,17 +37,73 @@ def test_preprocess_shapes_and_stats():
     np.testing.assert_allclose(np.asarray(ev2[0, 0, 0]), expected, rtol=1e-4)
 
 
-def test_randaug_ops_behave():
+def test_color_ops_behave():
     img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3) * 255, jnp.float32)
-    np.testing.assert_allclose(np.asarray(op_brightness(img, jnp.asarray(1.0))), np.asarray(img), atol=1e-4)
-    dark = op_brightness(img, jnp.asarray(0.5))
-    assert float(dark.mean()) < float(img.mean())
-    ac = op_autocontrast(img, jnp.asarray(0.0))
+    dark = OPS["brightness"](img, ONE)  # enh = 0.1+1.8*0.7 = 1.36 > 1 brightens
+    assert float(dark.mean()) > float(img.mean())
+    low = make_randaug_ops(0.0)  # enh = 0.1 strongly darkens
+    assert float(low[7](img, ONE).mean()) < float(img.mean())
+    ac = OPS["autocontrast"](img, ONE)
     assert float(ac.max()) > 254.0 and float(ac.min()) < 1.0
 
     out = randaugment(jax.random.PRNGKey(0), img)
     assert out.shape == img.shape
     assert 0.0 <= float(out.min()) and float(out.max()) <= 255.0
+
+
+def test_geometric_ops():
+    img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3) * 255, jnp.float32)
+    # translate_x by +7px (level 0.7 * 10): the left strip becomes fill 128
+    tx = OPS["translate_x"](img, ONE)
+    # out(x,y) = img(x + 7, y): the RIGHT strip reads out of bounds -> fill
+    np.testing.assert_allclose(np.asarray(tx[:, -7:]), 128.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tx[:, :9]), np.asarray(img[:, 7:]), atol=1e-3)
+
+    ty = OPS["translate_y"](img, ONE)
+    np.testing.assert_allclose(np.asarray(ty[-7:, :]), 128.0, atol=1e-4)
+
+    rot = OPS["rotate"](img, ONE)
+    assert rot.shape == img.shape and bool(jnp.isfinite(rot).all())
+    assert not np.allclose(np.asarray(rot), np.asarray(img))
+    # zero-magnitude rotate is identity
+    rot0 = make_randaug_ops(0.0)[3](img, ONE)
+    np.testing.assert_allclose(np.asarray(rot0), np.asarray(img), atol=1e-2)
+
+    sx = OPS["shear_x"](img, ONE)
+    assert not np.allclose(np.asarray(sx), np.asarray(img))
+    # first row unchanged under x-shear (y=0)
+    np.testing.assert_allclose(np.asarray(sx[0]), np.asarray(img[0]), atol=1e-3)
+
+
+def test_equalize_matches_pil_algorithm():
+    rng = np.random.RandomState(3)
+    img_u8 = (rng.rand(12, 12, 3) * 200 + 20).astype(np.uint8)
+
+    def pil_equalize_channel(ch):
+        hist = np.bincount(ch.reshape(-1), minlength=256)
+        nz = hist[hist != 0]
+        step = (hist.sum() - nz[-1]) // 255
+        if step == 0:
+            return ch
+        n = np.empty(256, np.int64)
+        n[0] = step // 2
+        n[1:] = hist[:-1]
+        table = np.clip(np.cumsum(n) // step, 0, 255)
+        return table[ch]
+
+    want = np.stack([pil_equalize_channel(img_u8[..., i]) for i in range(3)], -1)
+    got = OPS["equalize"](jnp.asarray(img_u8, jnp.float32), ONE)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3)
+
+
+def test_posterize_and_cutout():
+    img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3) * 255, jnp.float32)
+    post = OPS["posterize"](img, ONE)  # bits = int(4*0.7) = 2 -> values on 64-grid
+    vals = np.unique(np.asarray(post))
+    assert all(v % 64 == 0 for v in vals)
+
+    cut = cutout(jax.random.PRNGKey(0), img, 8)
+    assert (np.asarray(cut) == 128.0).any()
 
 
 def test_different_keys_different_crops():

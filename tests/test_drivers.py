@@ -195,3 +195,41 @@ def test_gd_driver(tmp_path, args):
     assert int(out["state"][2]) == 3
     # checkpoint written
     assert os.path.exists(os.path.join(args["output_dir"], "training_state_latest.ckpt"))
+
+
+def test_gd_driver_device_preprocess(tmp_path, args):
+    """device_preprocess: host ships uint8; crop/flip/RandAugment/normalize
+    run inside the jitted (sharded) train step."""
+    import base64
+    import io
+
+    from efficientvlm_tpu.drivers import gd
+
+    rows = []
+    rng = np.random.RandomState(0)
+    for i in range(12):
+        from PIL import Image as PILImage
+
+        img = PILImage.fromarray(np.uint8(rng.rand(40, 40, 3) * 255))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        rows.append({"binary": base64.b64encode(buf.getvalue()).decode(),
+                     "caption": f"a photo of dog number {i}"})
+    os.makedirs(tmp_path / "pt", exist_ok=True)
+    with open(tmp_path / "pt" / "part0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "pt")],
+        train_file_regions=None,
+        train_dataset_size=12,
+        images={"image_key": "binary", "is_image_rpath": False, "caption_key": "caption",
+                "batch_size": 1},
+        max_words=12, max_masks=3, mask_prob=0.25,
+        ckpt_frequent_step=10,
+        device_preprocess=True,
+    )
+    args = Config({**args, "max_steps": 2})
+    out = gd.main(args, cfg)
+    assert int(out["state"][2]) == 2
