@@ -153,7 +153,10 @@ def main():
     student = _run_phase("student")["tput"]
     pruned = _run_phase("pruned")["tput"]
     try:
-        kd = _run_phase("kd")
+        # the kd phase itself subprocesses its two programs (teacher fwd /
+        # student update compile separately — remote-compile constraint);
+        # compiles run ~300s + ~130s, so give it a generous budget
+        kd = _run_phase("kd", timeout=900)
         kd_ms = kd.get("value")
     except Exception:
         kd_ms = None

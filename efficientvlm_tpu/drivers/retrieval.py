@@ -94,8 +94,10 @@ def main(args: Config, config: Config) -> dict:
         train_ds, batch_size=bs, shuffle=True, drop_last=True,
         rank=info["rank"], world_size=info["world_size"],
     )
+    # worker pools only help with >1 core: on a single-core host the GIL/IPC
+    # overhead makes them 20-50% SLOWER (scripts/bench_input_pipeline.py)
     num_workers = int(config.get("num_workers", 4))
-    if num_workers > 1:
+    if num_workers > 1 and (os.cpu_count() or 1) > 2:
         train_loader = ParallelMapLoader(train_loader, num_workers=num_workers)
     val_ds = RetrievalEvalDataset(
         config["val_file"], ImageTransform.test(image_res), config.get("image_root", ""),

@@ -175,10 +175,17 @@ def generate_beam(
     repetition_penalty: float = 1.0,
     length_penalty: float = 1.0,
 ) -> Array:
-    """Beam search; prompt_ids [B, P] (NOT beam-expanded; the cache and
-    decode_fn closures must already operate on B*K rows — expand encoder
-    states with repeat before building decode_fn). Returns best tokens
-    [B, max_length]."""
+    """Beam search with an HF-style finished-hypothesis pool (the reference
+    decodes via transformers PreTrainedModel.generate / BeamHypotheses):
+    live beams always continue with the best K non-EOS continuations from
+    2K candidates; EOS candidates are INSERTED into a per-batch pool of K
+    finished hypotheses (score normalized by gen_len**length_penalty at
+    insertion, HF's `add`) instead of freezing a live slot. Jittable:
+    fixed-size pool, fori_loop over positions, cache reorder via gather.
+
+    prompt_ids [B, P] (NOT beam-expanded; the cache and decode_fn closures
+    must already operate on B*K rows — expand encoder states with repeat
+    before building decode_fn). Returns best tokens [B, max_length]."""
     bsz, prompt_len = prompt_ids.shape
     flat = bsz * num_beams
     prompt_flat = jnp.repeat(prompt_ids, num_beams, axis=0)
@@ -189,53 +196,82 @@ def generate_beam(
     logits, cache = decode_fn(prompt_flat, init_cache, 0)
     next_logits = logits[:, -1]
 
-    # beam scores: only beam 0 alive initially per batch
+    # live scores: only beam 0 seeded per batch (duplicate prompts would
+    # otherwise fill the beam with identical candidates)
     scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (num_beams - 1)), (bsz,))
-    finished = jnp.zeros((flat,), bool)
 
     class _S(NamedTuple):
-        tokens: Array
-        next_logits: Array
+        tokens: Array        # [B*K, L] live
+        next_logits: Array   # [B*K, V]
         cache: list
-        scores: Array
-        finished: Array
+        scores: Array        # [B*K] raw live scores
+        fin_tokens: Array    # [B, K, L] finished pool
+        fin_scores: Array    # [B, K] normalized finished scores
 
-    state = _S(tokens, next_logits, cache, scores, finished)
+    state = _S(
+        tokens, next_logits, cache, scores,
+        jnp.full((bsz, num_beams, max_length), pad_id, jnp.int32),
+        jnp.full((bsz, num_beams), NEG_INF),
+    )
     vocab = next_logits.shape[-1]
+    k2 = 2 * num_beams
 
     def body(cur_len, s: _S) -> _S:
-        logits = s.next_logits
+        # HF beam_search order: log_softmax FIRST, then logits processors
+        # (min-length / repetition penalty) on the log-probs — masking raw
+        # logits would renormalize the distribution and shift every score
+        logp = jax.nn.log_softmax(s.next_logits, axis=-1)
         valid = (jnp.arange(max_length) < cur_len).astype(jnp.float32)[None, :]
-        logits = apply_repetition_penalty(logits, s.tokens, valid, repetition_penalty)
-        logits = jnp.where(cur_len < min_length, logits.at[:, eos_id].set(NEG_INF), logits)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        # finished beams: only pad continues, score unchanged
-        pad_only = jnp.full((vocab,), NEG_INF).at[pad_id].set(0.0)
-        logp = jnp.where(s.finished[:, None], pad_only[None, :], logp)
+        logp = apply_repetition_penalty(logp, s.tokens, valid, repetition_penalty)
+        logp = jnp.where(cur_len < min_length, logp.at[:, eos_id].set(NEG_INF), logp)
 
-        cand = s.scores[:, None] + logp  # [B*K, V]
-        cand = cand.reshape(bsz, num_beams * vocab)
-        top_scores, top_idx = jax.lax.top_k(cand, num_beams)  # [B, K]
-        beam_idx = top_idx // vocab
+        cand = (s.scores[:, None] + logp).reshape(bsz, num_beams * vocab)
+        # 2K candidates guarantee K non-EOS continuations (HF takes 2K too)
+        top_scores, top_idx = jax.lax.top_k(cand, k2)  # [B, 2K]
+        beam_idx = top_idx // vocab                    # [B, 2K] in [0, K)
         tok_idx = (top_idx % vocab).astype(jnp.int32)
 
-        tokens = _gather_beams(s.tokens, beam_idx, bsz, num_beams)
-        cache = _gather_beams(s.cache, beam_idx, bsz, num_beams)
-        finished = _gather_beams(s.finished, beam_idx, bsz, num_beams)
+        # candidate token rows [B, 2K, L]
+        live = s.tokens.reshape(bsz, num_beams, max_length)
+        cand_tokens = jnp.take_along_axis(live, beam_idx[..., None], axis=1)
+        cand_tokens = jax.lax.dynamic_update_slice_in_dim(
+            cand_tokens, tok_idx[..., None], cur_len, axis=2)
+        is_eos = tok_idx == eos_id
 
-        next_tok = tok_idx.reshape(flat)
-        next_tok = jnp.where(finished, pad_id, next_tok)
+        # ---- finished pool insert (BeamHypotheses.add) ----
+        # HF 4.12 normalizes by the FULL prefix length at add time (the
+        # input_ids length before appending eos), prompt included; an eos
+        # candidate only enters the pool if it ranks within the top K
+        # ("worse than top num_beams" guard)
+        norm = top_scores / jnp.power(jnp.float32(cur_len), length_penalty)
+        in_top_k = jnp.arange(k2)[None, :] < num_beams  # top_k is sorted
+        eos_scores = jnp.where(is_eos & in_top_k, norm, NEG_INF)      # [B, 2K]
+        pool_scores = jnp.concatenate([s.fin_scores, eos_scores], 1)  # [B, 3K]
+        pool_tokens = jnp.concatenate([s.fin_tokens, cand_tokens], 1)
+        fin_scores, keep = jax.lax.top_k(pool_scores, num_beams)
+        fin_tokens = jnp.take_along_axis(pool_tokens, keep[..., None], axis=1)
+
+        # ---- live beams: best K non-EOS candidates ----
+        live_cand = jnp.where(is_eos, NEG_INF, top_scores)
+        live_scores, pick = jax.lax.top_k(live_cand, num_beams)        # [B, K]
+        live_beam = jnp.take_along_axis(beam_idx, pick, axis=1)
+        live_tok = jnp.take_along_axis(tok_idx, pick, axis=1)
+        tokens = jnp.take_along_axis(live, live_beam[..., None], axis=1).reshape(flat, max_length)
+        cache2 = _gather_beams(s.cache, live_beam, bsz, num_beams)
+        next_tok = live_tok.reshape(flat)
         tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, cur_len))
-        finished = finished | (next_tok == eos_id)
-        step_logits, cache = decode_fn(next_tok[:, None], cache, cur_len)
-        return _S(tokens, step_logits[:, -1], cache, top_scores.reshape(flat), finished)
+        step_logits, cache2 = decode_fn(next_tok[:, None], cache2, cur_len)
+        return _S(tokens, step_logits[:, -1], cache2, live_scores.reshape(flat),
+                  fin_tokens, fin_scores)
 
     state = jax.lax.fori_loop(prompt_len, max_length, body, state)
 
-    # pick the best beam per batch with HF length penalty on generated length
-    gen_len = (state.tokens != pad_id).sum(-1).astype(jnp.float32)
-    norm_scores = state.scores / jnp.power(gen_len, length_penalty)
-    norm = norm_scores.reshape(bsz, num_beams)
-    best = jnp.argmax(norm, axis=1)
-    toks = state.tokens.reshape(bsz, num_beams, max_length)
-    return jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0]
+    # finalize (HF): unfinished batches fall back to the best live beams —
+    # insert all live beams at max length into the pool, then take the best
+    live_norm = (state.scores / jnp.power(jnp.float32(max_length), length_penalty)
+                 ).reshape(bsz, num_beams)
+    all_scores = jnp.concatenate([state.fin_scores, live_norm], axis=1)
+    all_tokens = jnp.concatenate(
+        [state.fin_tokens, state.tokens.reshape(bsz, num_beams, max_length)], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    return jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]

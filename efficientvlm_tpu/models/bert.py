@@ -197,21 +197,38 @@ def bert_layer_apply(
 
     cross_probs = None
     if lp.get("crossattention") is not None and encoder_hidden is not None:
-        x_out, cross_probs, _ = multi_head_attention(
-            lp["crossattention"],
-            h,
-            encoder_hidden,
-            num_heads=_num_heads(lp["crossattention"], head_dim),
-            bias=encoder_bias,
-            head_z=cross_head_z,
-            output_probs=output_probs,
-            dropout_rate=adrop,
-            rng=rngs[2],
-            train=train,
-            dtype=dtype,
-            impl=impl,
+        use_fused_x = (
+            impl == "fused" and not output_probs
+            and not (train and (adrop > 0.0 or hdrop > 0.0))
+            and (encoder_bias is None
+                 or (encoder_bias.ndim == 4 and encoder_bias.shape[2] == 1))
         )
-        x_out = dropout(x_out, hdrop, rng=rngs[3], train=train)
+        if use_fused_x:
+            from ..ops.pallas_fused_mha import fused_cross_attention
+
+            x_out = fused_cross_attention(
+                lp["crossattention"], h.astype(dtype) if dtype is not None else h,
+                encoder_hidden,
+                num_heads=_num_heads(lp["crossattention"], head_dim),
+                key_bias=encoder_bias[:, 0, 0, :] if encoder_bias is not None else None,
+                head_z=cross_head_z,
+            )
+        else:
+            x_out, cross_probs, _ = multi_head_attention(
+                lp["crossattention"],
+                h,
+                encoder_hidden,
+                num_heads=_num_heads(lp["crossattention"], head_dim),
+                bias=encoder_bias,
+                head_z=cross_head_z,
+                output_probs=output_probs,
+                dropout_rate=adrop,
+                rng=rngs[2],
+                train=train,
+                dtype=dtype,
+                impl="xla" if impl == "fused" else impl,
+            )
+            x_out = dropout(x_out, hdrop, rng=rngs[3], train=train)
         h = layer_norm(lp["crossattention_ln"], h + x_out, eps=eps)
 
     if lp.get("intermediate") is not None:  # fully-pruned FFN -> identity

@@ -154,6 +154,163 @@ def _fused_mha_padded(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
     )(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates)
 
 
+def _fused_cross_kernel(num_heads: int, head_dim: int, scale: float):
+    """Cross-attention variant: queries from the text hidden states, keys/
+    values from the encoder (image) sequence — the ITM-rescore / fusion
+    hot path (Eff_Retrieval.py:285-319 reranks k_test pairs through it)."""
+    heads_per_group = max(1, LANE // head_dim)
+    if num_heads % heads_per_group != 0:
+        heads_per_group = num_heads
+    group_width = heads_per_group * head_dim
+    num_groups = num_heads // heads_per_group
+
+    def kernel(h_ref, e_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
+               bv_ref, bias_ref, gate_ref, o_ref, acc_ref):
+        hidden = h_ref[0]  # [T, D]
+        enc = e_ref[0]     # [S, De]
+        key_bias = bias_ref[0, 0].astype(jnp.float32)  # [S]
+
+        def group_body(gi):
+            sl = pl.ds(gi * group_width, group_width)
+            qg = (jax.lax.dot_general(
+                hidden, wq_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bq_ref[0, sl].astype(jnp.float32)).astype(hidden.dtype)
+            kg = (jax.lax.dot_general(
+                enc, wk_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bk_ref[0, sl].astype(jnp.float32)).astype(enc.dtype)
+            vg = (jax.lax.dot_general(
+                enc, wv_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bv_ref[0, sl].astype(jnp.float32)).astype(enc.dtype)
+            wog = wo_ref[sl, :]
+            ctx_parts = []
+            for s in range(heads_per_group):
+                q = qg[:, s * head_dim:(s + 1) * head_dim]
+                k = kg[:, s * head_dim:(s + 1) * head_dim]
+                v = vg[:, s * head_dim:(s + 1) * head_dim]
+                scores = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale + key_bias[None, :]
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(hidden.dtype)
+                ctx = jax.lax.dot_general(
+                    probs, v.astype(hidden.dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gate = gate_ref[0, gi * heads_per_group + s]
+                ctx_parts.append(ctx * gate)
+            ctx_g = jnp.concatenate(ctx_parts, axis=1)
+            out_g = jax.lax.dot_general(
+                ctx_g.astype(hidden.dtype), wog, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:, :] = acc_ref[:, :] + out_g
+
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        for gi in range(num_groups):
+            group_body(gi)
+        o_ref[0] = acc_ref[:, :].astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim", "interpret"))
+def _fused_cross_padded(hidden, enc, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
+                        num_heads: int, head_dim: int, interpret: bool):
+    b, t, d = hidden.shape
+    s = enc.shape[1]
+    de = enc.shape[2]
+    a = wq.shape[1]
+    assert a == num_heads * head_dim, (a, num_heads, head_dim)
+    scale = head_dim ** -0.5
+    kernel = _fused_cross_kernel(num_heads, head_dim, scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, s, de), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((d, a), lambda bi: (0, 0)),
+            pl.BlockSpec((de, a), lambda bi: (0, 0)),
+            pl.BlockSpec((de, a), lambda bi: (0, 0)),
+            pl.BlockSpec((a, d), lambda bi: (0, 0)),
+            pl.BlockSpec((1, a), lambda bi: (0, 0)),
+            pl.BlockSpec((1, a), lambda bi: (0, 0)),
+            pl.BlockSpec((1, a), lambda bi: (0, 0)),
+            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, num_heads), lambda bi: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, d), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(hidden.shape, hidden.dtype),
+        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * d * a + 4 * b * s * de * a + 4 * b * num_heads * t * s * head_dim,
+            bytes_accessed=(hidden.size + enc.size + t * d + 2 * d * a + 2 * de * a) * hidden.dtype.itemsize,
+            transcendentals=b * num_heads * t * s,
+        ),
+        interpret=interpret,
+    )(hidden, enc, wq, wk, wv, wo, bq, bk, bv, key_bias, gates)
+
+
+def fused_cross_attention(
+    params: dict,
+    hidden: Array,
+    encoder_hidden: Array,
+    *,
+    num_heads: int,
+    mask: Optional[Array] = None,
+    key_bias: Optional[Array] = None,
+    head_z: Optional[Array] = None,
+) -> Array:
+    """Fused cross-attention over params {'q','k','v','out'} — queries from
+    hidden [B,T,D], keys/values from encoder_hidden [B,S,De]; mask [B,S]
+    (1=attend) or key_bias [B,S] additive; head_z [num_heads] or None.
+    Equivalent to multi_head_attention(params, hidden, encoder_hidden, ...)
+    [0] without dropout. Supports pruned rectangular projection widths."""
+    b, t, d = hidden.shape
+    s = encoder_hidden.shape[1]
+    head_dim = params["q"]["kernel"].shape[1] // num_heads
+    # rows (queries) pad to the sublane tile, cols (keys) to the lane width
+    t_p = _round_up(max(t, 8), 16 if hidden.dtype == jnp.bfloat16 else 8)
+    s_p = _round_up(max(s, 8), LANE)
+    x = jnp.pad(hidden, ((0, 0), (0, t_p - t), (0, 0))) if t_p != t else hidden
+    e = (jnp.pad(encoder_hidden, ((0, 0), (0, s_p - s), (0, 0)))
+         if s_p != s else encoder_hidden)
+
+    if key_bias is not None:
+        kb = jnp.broadcast_to(key_bias.astype(jnp.float32), (b, s))
+    elif mask is None:
+        kb = jnp.zeros((b, s), jnp.float32)
+    else:
+        kb = (1.0 - mask.astype(jnp.float32)) * NEG
+    kb = jnp.pad(kb, ((0, 0), (0, s_p - s)), constant_values=NEG)[:, None, :]
+
+    gates = (jnp.ones((num_heads,), jnp.float32) if head_z is None
+             else head_z.astype(jnp.float32)).reshape(1, num_heads)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    dt = x.dtype
+    e = e.astype(dt)
+    out = _fused_cross_padded(
+        x, e,
+        params["q"]["kernel"].astype(dt), params["k"]["kernel"].astype(dt),
+        params["v"]["kernel"].astype(dt), params["out"]["kernel"].astype(dt),
+        params["q"]["bias"].reshape(1, -1), params["k"]["bias"].reshape(1, -1),
+        params["v"]["bias"].reshape(1, -1),
+        kb, gates, num_heads=num_heads, head_dim=head_dim, interpret=interpret,
+    )
+    out = out[:, :t] if t_p != t else out
+    return out + params["out"]["bias"].astype(out.dtype)
+
+
 def fused_self_attention(
     params: dict,
     hidden: Array,

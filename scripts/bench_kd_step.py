@@ -1,33 +1,47 @@
 """KD train-step time on real hardware (BASELINE's 'KD step time' metric):
-one jitted stage-2 retrieval pruning step (student fwd w/ stochastic gates +
-teacher fwd + full KD menu + Lagrangian + 3 optimizer updates) at 224px.
+one stage-2 retrieval pruning step = teacher forward + (student fwd w/
+stochastic gates + full KD menu + Lagrangian + 3 optimizer updates), at
+224px batch 16.
 
-Usage: PYTHONPATH=.:$HOME/.axon_site python scripts/bench_kd_step.py [batch]
-Prints one JSON line per phase (fwd-only eval step and full train step).
+The remote compile helper CRASHES (broken pipe) when one process compiles
+both large programs back-to-back (cumulative helper memory — CLAUDE.md), so
+the two programs are timed in SEPARATE processes and the step time is their
+sum (they execute back-to-back inside make_split_retrieval_train_step in
+production):
+
+  python scripts/bench_kd_step.py                 # parent: runs both phases
+  python scripts/bench_kd_step.py --phase teacher_fwd [batch]
+  python scripts/bench_kd_step.py --phase student_update [batch]
+
+The student_update phase builds the teacher-output pytree with
+jax.eval_shape (trace only, no teacher compile) and feeds zeros of the
+right shapes — timing is shape-dependent, not value-dependent.
+Prints one JSON line.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 sys.path.insert(0, ".")
 
-from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
-from efficientvlm_tpu.models.model_retrieval import XVLMForRetrieval
-from efficientvlm_tpu.pruning.l0_module import XVLML0Module
-from efficientvlm_tpu.train.optim import (
-    create_l0_optimizer,
-    create_lagrangian_optimizer,
-    create_optimizer,
-)
-from efficientvlm_tpu.train.steps import init_train_state, make_split_retrieval_train_step
 
+def _models(batch, image_res, *, need_student=True, need_teacher_params=True):
+    import jax
+    import jax.numpy as jnp
 
-def main(batch=32, image_res=224):
+    from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+    from efficientvlm_tpu.models.model_retrieval import XVLMForRetrieval
+    from efficientvlm_tpu.pruning.l0_module import XVLML0Module
+    from efficientvlm_tpu.train.optim import (
+        create_l0_optimizer,
+        create_lagrangian_optimizer,
+        create_optimizer,
+    )
+    from efficientvlm_tpu.train.steps import init_train_state
+
     vcfg_s = VisionConfig.create(num_hidden_layers=6, image_res=image_res, scan_layers=True)
     tcfg_s = TextConfig.create(num_hidden_layers=6, fusion_layer=3, encoder_width=768,
                                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
@@ -38,44 +52,154 @@ def main(batch=32, image_res=224):
                                scan_layers=True)
     student = XVLMForRetrieval(vcfg_s, tcfg_s, Config({"embed_dim": 256}))
     teacher = XVLMForRetrieval(vcfg_t, tcfg_t, Config({"embed_dim": 256}))
-    sparams = student.init(jax.random.PRNGKey(0))
-    tparams = teacher.init(jax.random.PRNGKey(1))
-    l0 = XVLML0Module(vision_layers=6, text_layers=3, cross_layers=3,
-                      target_sparsity=0.25, lagrangian_warmup=100)
-    l0_params = l0.init(jax.random.PRNGKey(2))
-    opts = (
-        create_optimizer(sparams, lr=3e-5, weight_decay=0.01, grad_clip=1.0),
-        create_l0_optimizer(reg_lr=0.01),
-        create_lagrangian_optimizer(reg_lr=0.01),
-    )
-    state = init_train_state(sparams, l0_params, opts)
-    step_fn = make_split_retrieval_train_step(
-        student, teacher, l0, opts, teacher_params=tparams, dtype=jnp.bfloat16,
-    )
+    # build only what the phase uses — every jitted init is a separate
+    # (slow) remote compile and the helper dies on too many per process
+    tparams = teacher.init(jax.random.PRNGKey(1)) if need_teacher_params else None
+    opts = state = None
+    if need_student:
+        sparams = student.init(jax.random.PRNGKey(0))
+        l0 = XVLML0Module(vision_layers=6, text_layers=3, cross_layers=3,
+                          target_sparsity=0.25, lagrangian_warmup=100)
+        l0_params = l0.init(jax.random.PRNGKey(2))
+        opts = (
+            create_optimizer(sparams, lr=3e-5, weight_decay=0.01, grad_clip=1.0),
+            create_l0_optimizer(reg_lr=0.01),
+            create_lagrangian_optimizer(reg_lr=0.01),
+        )
+        state = init_train_state(sparams, l0_params, opts)
+    else:
+        l0 = XVLML0Module(vision_layers=6, text_layers=3, cross_layers=3,
+                          target_sparsity=0.25, lagrangian_warmup=100)
     batch_data = {
         "image": jax.random.normal(jax.random.PRNGKey(3), (batch, image_res, image_res, 3), jnp.bfloat16),
         "text_ids": jax.random.randint(jax.random.PRNGKey(4), (batch, 40), 0, 30522),
         "text_atts": jnp.ones((batch, 40), jnp.int32),
         "idx": jnp.arange(batch),
     }
-    state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(5))
-    np.asarray(metrics["loss"])  # host-fetch sync
-    iters = 10
+    return student, teacher, tparams, l0, opts, state, batch_data
+
+
+def _teacher_fwd_fn(teacher, tparams):
+    import jax
+    import jax.numpy as jnp
+
+    def teacher_fwd(batch, rng):
+        out = teacher.forward(
+            jax.lax.stop_gradient(tparams),
+            batch["image"], batch["text_ids"], batch["text_atts"],
+            idx=batch.get("idx"), zs=None, rng=rng,
+            output_attentions=True, output_hidden_states=True,
+            train=False, dtype=jnp.bfloat16,
+        )
+        return jax.tree.map(jax.lax.stop_gradient, {
+            "hidden_dict": out["hidden_dict"],
+            "attention_dict": out["attention_dict"],
+            "cross_attention_dict": out["cross_attention_dict"],
+            "logits_dict": out["logits_dict"],
+        })
+
+    return teacher_fwd
+
+
+def phase_teacher_fwd(batch=16, image_res=224, iters=8):
+    import jax
+    import numpy as np
+
+    _, teacher, tparams, _, _, _, batch_data = _models(batch, image_res, need_student=False)
+    fwd = jax.jit(_teacher_fwd_fn(teacher, tparams))
+    out = fwd(batch_data, jax.random.PRNGKey(5))
+    np.asarray(out["logits_dict"]["itm_head_logits"])  # host-fetch sync
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(6 + i))
-    np.asarray(metrics["loss"])
+        out = fwd(batch_data, jax.random.PRNGKey(6 + i))
+    np.asarray(out["logits_dict"]["itm_head_logits"])
     dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"phase": "teacher_fwd", "ms": round(dt * 1e3, 2)}))
+
+
+def phase_student_update(batch=16, image_res=224, iters=8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficientvlm_tpu.train.steps import TrainState, apply_updates_3way, retrieval_kd_losses
+
+    student, teacher, _, l0, opts, state, batch_data = _models(
+        batch, image_res, need_teacher_params=False)
+    # shapes only — no teacher params/compile in this process
+    t_abstract = jax.eval_shape(lambda k: teacher.init(k), jax.random.PRNGKey(1))
+    teacher_fwd = _teacher_fwd_fn(teacher, jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), t_abstract))
+    t_shapes = jax.eval_shape(teacher_fwd, batch_data, jax.random.PRNGKey(5))
+    teacher_outputs = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), t_shapes)
+
+    def loss_fn(params, loga, lam, batch, t_out, rng, step):
+        zrng, srng = jax.random.split(rng)
+        zs = l0.forward_train({"loga": loga}, zrng)
+        s_out = student.forward(
+            params, batch["image"], batch["text_ids"], batch["text_atts"],
+            idx=batch.get("idx"), zs=zs, rng=srng,
+            output_attentions=True, output_hidden_states=True,
+            train=True, dtype=jnp.bfloat16,
+        )
+        kd = retrieval_kd_losses(s_out, t_out)
+        lag, _, _ = l0.lagrangian_regularization({"loga": loga, **lam}, step)
+        loss = (kd["loss_kd"] + s_out["loss"]["loss_itc"] + s_out["loss"]["loss_itm"]) * 0.5 + lag
+        return loss, loss
+
+    @jax.jit
+    def student_update(state: TrainState, batch, t_out, rng):
+        (_, loss), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            state.params, state.loga, state.lam, batch, t_out, rng, state.step
+        )
+        return apply_updates_3way(state, grads, opts), loss
+
+    state, loss = student_update(state, batch_data, teacher_outputs, jax.random.PRNGKey(7))
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, loss = student_update(state, batch_data, teacher_outputs, jax.random.PRNGKey(8 + i))
+    np.asarray(loss)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"phase": "student_update", "ms": round(dt * 1e3, 2)}))
+
+
+def main(batch=16, image_res=224):
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    total = {}
+    for phase in ("teacher_fwd", "student_update"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", phase, str(batch)],
+            capture_output=True, text=True, timeout=840, env=env, cwd=here,
+        )
+        got = None
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                got = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if got is None:
+            raise RuntimeError(f"{phase}: {out.stdout[-300:]} {out.stderr[-300:]}")
+        total[phase] = got["ms"]
     print(json.dumps({
         "metric": "kd_train_step_time",
-        "value": round(dt * 1e3, 2),
+        "value": round(total["teacher_fwd"] + total["student_update"], 2),
         "unit": "ms",
         "batch": batch,
         "image_res": image_res,
-        "pairs_per_sec": round(batch / dt, 1),
-        "loss": float(metrics["loss"]),
+        "teacher_fwd_ms": total["teacher_fwd"],
+        "student_update_ms": total["student_update"],
+        "pairs_per_sec": round(batch / ((total["teacher_fwd"] + total["student_update"]) / 1e3), 1),
     }))
 
 
 if __name__ == "__main__":
-    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 32)
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+        b = int(sys.argv[sys.argv.index("--phase") + 2]) if len(sys.argv) > sys.argv.index("--phase") + 2 else 16
+        {"teacher_fwd": phase_teacher_fwd, "student_update": phase_student_update}[phase](batch=b)
+    else:
+        main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 16)

@@ -94,3 +94,39 @@ def test_vit_fused_equals_xla_after_prune():
     a = V.vit_apply(pruned, imgs, cfg, impl="xla")["last_hidden"]
     b = V.vit_apply(pruned, imgs, cfg, impl="fused")["last_hidden"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_fused_cross_attention_matches_reference():
+    """Queries from text, K/V from the image sequence (ITM-rescore path),
+    with per-key mask and head gates."""
+    from efficientvlm_tpu.ops.pallas_fused_mha import fused_cross_attention
+
+    D, De, H = 128, 64, 2
+    params = init_attention(jax.random.PRNGKey(0), D, H, kv_width=De)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, D)) * 0.05
+    enc = jax.random.normal(jax.random.PRNGKey(2), (2, 17, De)) * 0.05
+    mask = jnp.ones((2, 17), jnp.int32).at[1, 11:].set(0)
+    hz = jnp.asarray([0.5, 1.0])
+
+    ref, _, _ = multi_head_attention(
+        params, x, enc, num_heads=H, bias=make_attention_bias(mask), head_z=hz)
+    out = fused_cross_attention(params, x, enc, num_heads=H, mask=mask, head_z=hz)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=3e-5)
+
+
+def test_fused_cross_attention_pruned_width():
+    from efficientvlm_tpu.ops.pallas_fused_mha import fused_cross_attention
+
+    D, De, H = 128, 64, 2
+    params = init_attention(jax.random.PRNGKey(0), D, H, kv_width=De)
+    pruned = {
+        name: {"kernel": params[name]["kernel"][:, :64], "bias": params[name]["bias"][:64]}
+        for name in ("q", "k", "v")
+    }
+    pruned["out"] = {"kernel": params["out"]["kernel"][:64, :], "bias": params["out"]["bias"]}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, D)) * 0.05
+    enc = jax.random.normal(jax.random.PRNGKey(2), (2, 17, De)) * 0.05
+
+    ref, _, _ = multi_head_attention(pruned, x, enc, num_heads=1)
+    out = fused_cross_attention(pruned, x, enc, num_heads=1)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=3e-5)
