@@ -426,6 +426,68 @@ class GroundingDataset:
         return self.transform(image), caption, ann["ref_id"]
 
 
+class GroundingBboxDataset:
+    """Bbox-supervised grounding (reference grounding_dataset_bbox,
+    dataset/grounding_dataset.py:56-147) with CALLER-SUPPLIED boxes: each
+    annotation carries {'image','text','bbox':[x,y,w,h] pixels,'ref_id'}
+    instead of going through the REFER api. Train mode random-crops around
+    the box, careful-hflips (skip when the caption mentions left/right),
+    and emits cxcywh targets normalized to image_res."""
+
+    def __init__(self, ann_file, transform: ImageTransform, image_root: str,
+                 image_res: int = 384, max_words: int = 30, mode: str = "train",
+                 careful_hflip: bool = True, seed: int = 42):
+        self.ann = load_ann(ann_file)
+        self.transform = transform
+        self.image_root = image_root
+        self.image_res = image_res
+        self.max_words = max_words
+        self.mode = mode
+        self.careful_hflip = careful_hflip
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.ann)
+
+    def __getitem__(self, index):
+        import math
+
+        ann = self.ann[index]
+        image = open_image(ann["image"], is_path=True, image_root=self.image_root)
+        caption = pre_caption(ann["text"], self.max_words)
+        if self.mode != "train":
+            W, H = image.size
+            return self.transform(image), caption, ann["ref_id"], W, H
+
+        W, H = image.size
+        x, y, w, h = (float(v) for v in ann["bbox"])
+        rng = self.rng
+        x0 = int(rng.integers(0, max(1, math.floor(x) + 1)))
+        y0 = int(rng.integers(0, max(1, math.floor(y) + 1)))
+        x1 = int(rng.integers(min(math.ceil(x + w), W), W + 1))
+        y1 = int(rng.integers(min(math.ceil(y + h), H), H + 1))
+        image = image.crop((x0, y0, x1, y1))
+        W, H = image.size
+        do_hflip = False
+        if rng.random() < 0.5 and not (
+            self.careful_hflip and ("left" in caption or "right" in caption)
+        ):
+            image = image.transpose(Image.FLIP_LEFT_RIGHT)
+            do_hflip = True
+        image = image.resize((self.image_res, self.image_res), Image.BICUBIC)
+        pixels = self.transform(image)
+        x, y = x - x0, y - y0
+        if do_hflip:
+            x = (W - x) - w
+        sx, sy = self.image_res / W, self.image_res / H
+        x, w, y, h = x * sx, w * sx, y * sy, h * sy
+        target = np.asarray([
+            (x + w / 2) / self.image_res, (y + h / 2) / self.image_res,
+            w / self.image_res, h / self.image_res,
+        ], np.float32)
+        return pixels, caption, target
+
+
 # ---------------------------------------------------------------------------
 # Pretrain streams (dataset/pretrain_dataset.py)
 # ---------------------------------------------------------------------------

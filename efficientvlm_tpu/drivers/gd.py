@@ -81,11 +81,23 @@ def main(args: Config, config: Config) -> dict:
 
     state = (sparams, opt_state, jnp.asarray(start_step))
     # resume (GeneralDistill.py:512-520) — full state incl. optimizer moments
+    # AND the data-stream cursors (deterministic mid-epoch resume the
+    # reference lacks; ShardedJsonlDataset.state_dict)
     if args.get("resume") and args.get("output_dir"):
         restored = common.restore_full_state(args["output_dir"], state)
         if restored is not None:
             state, extra = restored
             start_step = int(extra.get("step", 0))
+            def _restore_stream(stream, st):
+                stream.load_state_dict({
+                    "epoch": int(st["epoch"]),
+                    "cursor": [int(st["file"]), int(st["line"])],
+                })
+
+            if "general_stream" in extra:
+                _restore_stream(general_ds.stream, extra["general_stream"])
+            if region_ds is not None and "region_stream" in extra:
+                _restore_stream(region_ds.stream, extra["region_stream"])
             print(f"### resumed from step {start_step} (full state incl. optimizer)")
 
     temperature = float(args.get("temperature", 1.0))
@@ -149,7 +161,15 @@ def main(args: Config, config: Config) -> dict:
                 ckpt_io.Checkpointer(args["output_dir"]).save_checkpoint(
                     step + 1, {"model": state[0], "step": step + 1},
                 )
-            common.save_full_state(args["output_dir"], state, {"step": step + 1})
+            def _stream_state(stream):
+                sd = stream.state_dict()
+                return {"epoch": sd["epoch"], "file": sd["cursor"][0], "line": sd["cursor"][1]}
+
+            stream_extra = {"general_stream": _stream_state(general_ds.stream)}
+            if region_ds is not None:
+                stream_extra["region_stream"] = _stream_state(region_ds.stream)
+            common.save_full_state(args["output_dir"], state,
+                                   {"step": step + 1, **stream_extra})
             common.log_stats(
                 {"step": step + 1,
                  **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},

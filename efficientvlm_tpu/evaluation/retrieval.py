@@ -25,7 +25,34 @@ from ..models.xvlm import XVLM, mlp_head_apply
 Array = jax.Array
 
 
-def encode_texts(model: XVLM, params, text_ids, text_atts, *, zs=None, batch_size=256, dtype=None, impl="xla"):
+def eval_mesh():
+    """1-axis mesh over local devices for data-parallel eval, or None on a
+    single chip (the reference shards eval by RANK only; here each process
+    additionally spreads its batches over its local chips — XLA partitions
+    the batch-parallel jitted encoders/scorers from the input sharding)."""
+    devs = jax.local_devices()
+    if len(devs) == 1:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def _shard_args(mesh, *arrays):
+    """device_put batch-sharded when divisible by the mesh; jnp otherwise."""
+    out = []
+    if mesh is None:
+        return [jnp.asarray(a) for a in arrays]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    for a in arrays:
+        a = jnp.asarray(a)
+        out.append(jax.device_put(a, sh) if a.shape[0] % mesh.size == 0 else a)
+    return out
+
+
+def encode_texts(model: XVLM, params, text_ids, text_atts, *, zs=None, batch_size=256, dtype=None, impl="xla", mesh=None):
     """Returns (text_feats [N,T,D] last hidden, text_embeds [N,E] proj)."""
 
     @jax.jit
@@ -40,13 +67,13 @@ def encode_texts(model: XVLM, params, text_ids, text_atts, *, zs=None, batch_siz
     ids = np.concatenate([text_ids, np.repeat(text_ids[-1:], pad, 0)]) if pad else text_ids
     atts = np.concatenate([text_atts, np.repeat(text_atts[-1:], pad, 0)]) if pad else text_atts
     for i in range(0, n + pad, batch_size):
-        h, e = _enc(jnp.asarray(ids[i : i + batch_size]), jnp.asarray(atts[i : i + batch_size]))
+        h, e = _enc(*_shard_args(mesh, ids[i : i + batch_size], atts[i : i + batch_size]))
         feats.append(np.asarray(h))
         embeds.append(np.asarray(e))
     return np.concatenate(feats)[:n], np.concatenate(embeds)[:n]
 
 
-def encode_images(model: XVLM, params, image_batches, *, zs=None, dtype=None, impl="xla"):
+def encode_images(model: XVLM, params, image_batches, *, zs=None, dtype=None, impl="xla", mesh=None):
     """image_batches: iterable of [B,H,W,3] arrays (uniform B except last).
     Returns (image_feats [N,S,D], image_embeds [N,E])."""
 
@@ -57,7 +84,7 @@ def encode_images(model: XVLM, params, image_batches, *, zs=None, dtype=None, im
 
     feats, embeds = [], []
     for img in image_batches:
-        h, e = _enc(jnp.asarray(img))
+        h, e = _enc(*_shard_args(mesh, img))
         feats.append(np.asarray(h))
         embeds.append(np.asarray(e))
     return np.concatenate(feats), np.concatenate(embeds)
@@ -78,6 +105,7 @@ def retrieval_scores(
     world_size: int = 1,
     dtype=None,
     impl="xla",
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (score_matrix_i2t [Ni,Nt], score_matrix_t2i [Nt,Ni]) with this
     rank's rows filled and -100 elsewhere."""
@@ -107,7 +135,7 @@ def retrieval_scores(
         topk_idx = np.argsort(-sims[i])[:k_i2t]
         img_k = np.broadcast_to(image_feats[i], (k_i2t,) + image_feats[i].shape)
         score = _itm_score(
-            jnp.asarray(img_k), jnp.asarray(text_feats[topk_idx]), jnp.asarray(text_atts[topk_idx])
+            *_shard_args(mesh, img_k, text_feats[topk_idx], text_atts[topk_idx])
         )
         score_i2t[i, topk_idx] = np.asarray(score)
 
@@ -117,7 +145,7 @@ def retrieval_scores(
         topk_idx = np.argsort(-sims.T[i])[:k_t2i]
         txt_k = np.broadcast_to(text_feats[i], (k_t2i,) + text_feats[i].shape)
         att_k = np.broadcast_to(text_atts[i], (k_t2i,) + text_atts[i].shape)
-        score = _itm_score(jnp.asarray(image_feats[topk_idx]), jnp.asarray(txt_k), jnp.asarray(att_k))
+        score = _itm_score(*_shard_args(mesh, image_feats[topk_idx], txt_k, att_k))
         score_t2i[i, topk_idx] = np.asarray(score)
 
     return score_i2t, score_t2i

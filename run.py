@@ -29,6 +29,7 @@ TASK_CONFIGS = {
     "nlvr_domain": "configs/x-vlm-small-ft/NLVR_pretrain_O1.yaml",
     "coco_captioning": "configs/x-vlm-small-ft/Captioning.yaml",
     "coco_capt_domain": "configs/x-vlm-small-ft/Captioning_pretrain_O1.yaml",
+    "grounding": "configs/x-vlm-small-ft/Grounding.yaml",
 }
 
 
@@ -54,10 +55,23 @@ def run(args: Config, config: Config):
         from efficientvlm_tpu.drivers import captioning
 
         return captioning.main(args, config)
+    if task == "grounding":
+        from efficientvlm_tpu.drivers import grounding
+
+        return grounding.main(args, config)
     raise ValueError(f"unknown task: {task}")
 
 
 def main(argv=None):
+    # The ambient TPU plugin pins jax_platforms via jax.config at interpreter
+    # startup, which silently overrides env JAX_PLATFORMS=cpu (CPU smoke runs
+    # with a virtual device mesh). Re-assert the env choice before any
+    # backend initializes.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--task", required=True, choices=sorted(TASK_CONFIGS))
     parser.add_argument("--config", default="", type=str)

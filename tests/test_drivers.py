@@ -233,3 +233,34 @@ def test_gd_driver_device_preprocess(tmp_path, args):
     args = Config({**args, "max_steps": 2})
     out = gd.main(args, cfg)
     assert int(out["state"][2]) == 2
+
+
+def test_grounding_driver(tmp_path, args):
+    """Grounding: bbox fine-tune + IoU eval (the reference leaves this task
+    driverless; here it is a full stage-2-shaped driver)."""
+    from efficientvlm_tpu.drivers import grounding
+
+    img_root = str(tmp_path / "imgs")
+    write_images(img_root, 16)
+    train_ann = [{"image": f"{i}.jpg", "text": f"the dog number {i}",
+                  "bbox": [5, 5, 20, 20], "ref_id": i} for i in range(16)]
+    json.dump(train_ann, open(tmp_path / "gt.json", "w"))
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "gt.json")],
+        test_file=[str(tmp_path / "gt.json")],
+        image_root=img_root,
+        max_tokens=12,
+        sparsity=0.0,
+    )
+    out = grounding.main(args, cfg)
+    assert "state" in out
+
+    # eval path with accuracy scoring
+    ref_boxes = {str(i): {"bbox": [5, 5, 20, 20], "split": "val"} for i in range(16)}
+    json.dump(ref_boxes, open(tmp_path / "refs.json", "w"))
+    cfg["ref_boxes"] = str(tmp_path / "refs.json")
+    args2 = Config({**args, "evaluate": True, "output_dir": str(tmp_path / "out2")})
+    res = grounding.main(args2, cfg)
+    assert len(res["results"]) == 16
+    assert "val" in res and 0.0 <= res["val"] <= 100.0
