@@ -151,10 +151,10 @@ def main(args: Config, config: Config) -> dict:
     step_fn, mesh, _ = common.data_parallel_step(make_task_train_step(
         student_forward, teacher_forward,
         lambda s, t: captioning_kd_losses(s, t, temperature=float(args.get("temperature", 1.0))),
-        l0, optimizers, teacher_params=tparams,
+        l0, optimizers, teacher_params=None,
         task_weight=0.7, kd_weight=0.3,  # Eff_Captioning.py:144
         axis_name=common.dp_axis_name(),
-    ))
+    ), with_teacher=True)
 
     start_epoch = 0
     if args.get("resume") and args.get("output_dir"):
@@ -178,7 +178,7 @@ def main(args: Config, config: Config) -> dict:
                 "caption_atts": jnp.asarray(tok["attention_mask"]),
             }, mesh)
             rng, srng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, srng)
+            state, metrics = step_fn(state, batch, srng, tparams)
             logger.update(**{k: float(v) for k, v in metrics.items()})
         logger.synchronize_between_processes()
         zs = l0.forward_deterministic({"loga": state.loga})

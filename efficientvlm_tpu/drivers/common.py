@@ -130,7 +130,7 @@ def save_training_state(output_dir: str, tag, payload: dict) -> None:
     ckpt.save_checkpoint(tag, payload, training_states=payload)
 
 
-def data_parallel_step(step_fn, *, fold_rng: bool = True):
+def data_parallel_step(step_fn, *, fold_rng: bool = True, with_teacher: bool = False):
     """Data-parallel wrap of step_fn(state, batch, rng) -> (state, metrics)
     over ALL local devices — the TPU-native DDP that every reference driver
     gets from torch DDP / Apex (Eff_Retrieval.py:448-450,
@@ -141,6 +141,12 @@ def data_parallel_step(step_fn, *, fold_rng: bool = True):
     The per-shard rng is decorrelated by folding in the axis index, matching
     reference DDP semantics where every rank samples its own dropout /
     hard-negative / gate noise.
+
+    with_teacher=True: the step takes a 4th argument (teacher params,
+    replicated). Teacher params MUST travel as an argument — closed-over
+    arrays inline into the lowered module as constants, which at production
+    size multiplies compile time and overflows the compile service's
+    request limit.
 
     Returns (jitted_fn, mesh, n_devices); with one device this degrades to
     plain jax.jit and mesh=None.
@@ -154,15 +160,25 @@ def data_parallel_step(step_fn, *, fold_rng: bool = True):
 
     mesh = Mesh(np.asarray(devices), ("data",))
 
-    def wrapped(state, batch, rng):
-        if fold_rng:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-        return step_fn(state, batch, rng)
+    if with_teacher:
+        def wrapped(state, batch, rng, teacher_params):
+            if fold_rng:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            return step_fn(state, batch, rng, teacher_params)
+
+        in_specs = (P(), P("data"), P(), P())
+    else:
+        def wrapped(state, batch, rng):
+            if fold_rng:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            return step_fn(state, batch, rng)
+
+        in_specs = (P(), P("data"), P())
 
     fn = jax.jit(
         shard_map(
             wrapped, mesh=mesh,
-            in_specs=(P(), P("data"), P()),
+            in_specs=in_specs,
             out_specs=(P(), P()),
             check_vma=False,
         )

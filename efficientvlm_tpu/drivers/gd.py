@@ -110,22 +110,22 @@ def main(args: Config, config: Config) -> dict:
 
         image_res = int(config.get("image_res", 224))
 
-        def wrapped(state, batch, rng):
+        def wrapped(state, batch, rng, teacher_params=None):
             prng, srng = jax.random.split(rng)
             batch = dict(batch)
             batch["image"] = preprocess_train(prng, batch["image"], image_res)
-            return step(state, batch, srng)
+            return step(state, batch, srng, teacher_params)
 
         return wrapped
 
     general_step, mesh, _ = common.data_parallel_step(with_device_preprocess(make_gd_train_step(
-        student, teacher, optimizer, teacher_params=tparams, temperature=temperature,
+        student, teacher, optimizer, teacher_params=None, temperature=temperature,
         axis_name=axis,
-    )))
+    )), with_teacher=True)
     region_step = common.data_parallel_step(make_gd_train_step(
-        student, teacher, optimizer, teacher_params=tparams, temperature=temperature,
+        student, teacher, optimizer, teacher_params=None, temperature=temperature,
         with_bbox=True, axis_name=axis,
-    ))[0] if region_ds is not None else None
+    ), with_teacher=True)[0] if region_ds is not None else None
 
     base_rng = jax.random.PRNGKey(int(args.get("seed", 42)) + info["rank"])
     ckpt_freq = int(config.get("ckpt_frequent_step", 10000))
@@ -151,10 +151,10 @@ def main(args: Config, config: Config) -> dict:
         )
         if use_region:
             batch = common.place_batch({k: jnp.asarray(v) for k, v in next(region_iter).items()}, mesh)
-            state, metrics = region_step(state, batch, srng)
+            state, metrics = region_step(state, batch, srng, tparams)
         else:
             batch = common.place_batch({k: jnp.asarray(v) for k, v in next(general_iter).items()}, mesh)
-            state, metrics = general_step(state, batch, srng)
+            state, metrics = general_step(state, batch, srng, tparams)
         logger.update(**{k: float(v) for k, v in metrics.items()})
         if (step + 1) % ckpt_freq == 0 and args.get("output_dir"):
             if get_rank() == 0:

@@ -131,7 +131,7 @@ def main(args: Config, config: Config) -> dict:
         l0, optimizers, teacher_params={},
         task_weight=1.0, kd_weight=0.0,
         axis_name=common.dp_axis_name(),
-    ))
+    ), with_teacher=True)
 
     start_epoch = 0
     if args.get("resume") and args.get("output_dir"):
@@ -156,7 +156,7 @@ def main(args: Config, config: Config) -> dict:
                 "target_bbox": jnp.asarray(np.stack(targets)),
             }, mesh)
             rng, srng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, srng)
+            state, metrics = step_fn(state, batch, srng, {})
             logger.update(**{k: float(v) for k, v in metrics.items()})
         logger.synchronize_between_processes()
         common.log_stats(

@@ -141,10 +141,10 @@ def main(args: Config, config: Config) -> dict:
         student_forward, teacher_forward,
         lambda s, t: nlvr_kd_losses(s, t, fusion_layer_s=fusion_s,
                                     temperature=float(args.get("temperature", 1.0))),
-        l0, optimizers, teacher_params=tparams,
+        l0, optimizers, teacher_params=None,
         task_weight=0.8, kd_weight=0.2,  # Eff_NLVR.py:150
         axis_name=common.dp_axis_name(),
-    ))
+    ), with_teacher=True)
 
     start_epoch = 0
     if args.get("resume") and args.get("output_dir"):
@@ -171,7 +171,7 @@ def main(args: Config, config: Config) -> dict:
                 "targets": jnp.asarray(labels),
             }, mesh)
             rng, srng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, srng)
+            state, metrics = step_fn(state, batch, srng, tparams)
             logger.update(**{k: float(v) for k, v in metrics.items()})
         logger.synchronize_between_processes()
         zs = l0.forward_deterministic({"loga": state.loga})

@@ -146,11 +146,11 @@ def main(args: Config, config: Config) -> dict:
     dtype = _jnp.bfloat16 if config.get("compute_dtype", "bf16") == "bf16" else None
     impl = config.get("attn_impl", "fused")
     step_fn, mesh, _ = common.data_parallel_step(make_retrieval_train_step(
-        student, teacher, l0, optimizers, teacher_params=tparams,
+        student, teacher, l0, optimizers, teacher_params=None,
         temperature=float(args.get("temperature", 1.0)),
         axis_name=common.dp_axis_name(),
         dtype=dtype, impl=impl,
-    ))
+    ), with_teacher=True)
 
     best = 0.0
     best_epoch = 0
@@ -171,7 +171,7 @@ def main(args: Config, config: Config) -> dict:
                 "idx": jnp.asarray(idx),
             }, mesh)
             rng, srng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, srng)
+            state, metrics = step_fn(state, batch, srng, tparams)
             logger.update(**{k: float(v) for k, v in metrics.items()})
         logger.synchronize_between_processes()
 

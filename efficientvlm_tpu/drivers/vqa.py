@@ -167,10 +167,10 @@ def main(args: Config, config: Config) -> dict:
     def build_step(frozen_zs=None):
         return common.data_parallel_step(make_task_train_step(
             student_forward, teacher_forward, kd_fn,
-            l0, optimizers, teacher_params=tparams,
+            l0, optimizers, teacher_params=None,
             task_weight=0.6, kd_weight=0.4,
             axis_name=common.dp_axis_name(), frozen_zs=frozen_zs,
-        ))
+        ), with_teacher=True)
 
     step_fn, mesh, _ = build_step()
 
@@ -209,7 +209,7 @@ def main(args: Config, config: Config) -> dict:
                 "weights": jnp.asarray(weights), "k_index": jnp.asarray(k_index),
             }, mesh)
             rng, srng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, srng)
+            state, metrics = step_fn(state, batch, srng, tparams)
             logger.update(**{k: float(v) for k, v in metrics.items()})
         logger.synchronize_between_processes()
         common.log_stats(

@@ -55,11 +55,13 @@ def _shard_args(mesh, *arrays):
 def encode_texts(model: XVLM, params, text_ids, text_atts, *, zs=None, batch_size=256, dtype=None, impl="xla", mesh=None):
     """Returns (text_feats [N,T,D] last hidden, text_embeds [N,E] proj)."""
 
+    # params as an ARGUMENT: closure arrays inline into the lowered module
+    # as constants (oversized/slow at production scale)
     @jax.jit
-    def _enc(ids, atts):
-        out = model.get_text_embeds(params, ids, atts, zs=zs, dtype=dtype, impl=impl)
+    def _enc(p, ids, atts):
+        out = model.get_text_embeds(p, ids, atts, zs=zs, dtype=dtype, impl=impl)
         h = out["last_hidden"]
-        return h, model.get_features(params, text_embeds=h, dtype=dtype)
+        return h, model.get_features(p, text_embeds=h, dtype=dtype)
 
     feats, embeds = [], []
     n = text_ids.shape[0]
@@ -67,7 +69,7 @@ def encode_texts(model: XVLM, params, text_ids, text_atts, *, zs=None, batch_siz
     ids = np.concatenate([text_ids, np.repeat(text_ids[-1:], pad, 0)]) if pad else text_ids
     atts = np.concatenate([text_atts, np.repeat(text_atts[-1:], pad, 0)]) if pad else text_atts
     for i in range(0, n + pad, batch_size):
-        h, e = _enc(*_shard_args(mesh, ids[i : i + batch_size], atts[i : i + batch_size]))
+        h, e = _enc(params, *_shard_args(mesh, ids[i : i + batch_size], atts[i : i + batch_size]))
         feats.append(np.asarray(h))
         embeds.append(np.asarray(e))
     return np.concatenate(feats)[:n], np.concatenate(embeds)[:n]
@@ -78,13 +80,13 @@ def encode_images(model: XVLM, params, image_batches, *, zs=None, dtype=None, im
     Returns (image_feats [N,S,D], image_embeds [N,E])."""
 
     @jax.jit
-    def _enc(img):
-        embeds, _, _ = model.get_vision_embeds(params, img, zs=zs, dtype=dtype, impl=impl)
-        return embeds, model.get_features(params, image_embeds=embeds, dtype=dtype)
+    def _enc(p, img):
+        embeds, _, _ = model.get_vision_embeds(p, img, zs=zs, dtype=dtype, impl=impl)
+        return embeds, model.get_features(p, image_embeds=embeds, dtype=dtype)
 
     feats, embeds = [], []
     for img in image_batches:
-        h, e = _enc(*_shard_args(mesh, img))
+        h, e = _enc(params, *_shard_args(mesh, img))
         feats.append(np.asarray(h))
         embeds.append(np.asarray(e))
     return np.concatenate(feats), np.concatenate(embeds)
@@ -115,13 +117,13 @@ def retrieval_scores(
     sims = image_embeds @ text_embeds.T  # [Ni, Nt]
 
     @jax.jit
-    def _itm_score(img_feats_k, txt_feats_k, txt_atts_k):
+    def _itm_score(p, img_feats_k, txt_feats_k, txt_atts_k):
         img_atts = jnp.ones(img_feats_k.shape[:2], jnp.int32)
         out = model.get_cross_embeds(
-            params, img_feats_k, img_atts, text_embeds=txt_feats_k,
+            p, img_feats_k, img_atts, text_embeds=txt_feats_k,
             text_atts=txt_atts_k, zs=zs, dtype=dtype, impl=impl,
         )
-        logits = mlp_head_apply(params["itm_head"], out["last_hidden"][:, 0], dtype=dtype)
+        logits = mlp_head_apply(p["itm_head"], out["last_hidden"][:, 0], dtype=dtype)
         return logits[:, 1]
 
     def shard_range(n):
@@ -135,7 +137,7 @@ def retrieval_scores(
         topk_idx = np.argsort(-sims[i])[:k_i2t]
         img_k = np.broadcast_to(image_feats[i], (k_i2t,) + image_feats[i].shape)
         score = _itm_score(
-            *_shard_args(mesh, img_k, text_feats[topk_idx], text_atts[topk_idx])
+            params, *_shard_args(mesh, img_k, text_feats[topk_idx], text_atts[topk_idx])
         )
         score_i2t[i, topk_idx] = np.asarray(score)
 
@@ -145,7 +147,7 @@ def retrieval_scores(
         topk_idx = np.argsort(-sims.T[i])[:k_t2i]
         txt_k = np.broadcast_to(text_feats[i], (k_t2i,) + text_feats[i].shape)
         att_k = np.broadcast_to(text_atts[i], (k_t2i,) + text_atts[i].shape)
-        score = _itm_score(*_shard_args(mesh, image_feats[topk_idx], txt_k, att_k))
+        score = _itm_score(params, *_shard_args(mesh, image_feats[topk_idx], txt_k, att_k))
         score_t2i[i, topk_idx] = np.asarray(score)
 
     return score_i2t, score_t2i

@@ -158,7 +158,7 @@ def make_gd_train_step(
     `with_bbox` selects the region-batch variant (ret_bbox_loss=True).
     State: (params, opt_state, step)."""
 
-    def loss_fn(params, batch, rng, step):
+    def loss_fn(params, batch, rng, step, tp):
         srng, trng = jax.random.split(rng)
         fwd_kw = dict(
             text_ids_masked=batch.get("text_ids_masked"),
@@ -180,7 +180,7 @@ def make_gd_train_step(
             rng=srng, train=True, **fwd_kw,
         )
         teacher_outputs = teacher_model.forward(
-            jax.lax.stop_gradient(teacher_params),
+            jax.lax.stop_gradient(tp),
             batch["image"], batch["text_ids"], batch["text_atts"],
             rng=trng, train=False, **fwd_kw,
         )
@@ -193,9 +193,14 @@ def make_gd_train_step(
         metrics = {"loss": loss, **l, **kd}
         return loss, metrics
 
-    def train_step(state, batch: dict, rng: Array):
+    def train_step(state, batch: dict, rng: Array, teacher_params_arg=None):
+        # teacher params ride as an ARGUMENT: closed-over arrays inline into
+        # the lowered module as constants (hundreds of MB at production
+        # size — the remote compile service rejects the payload and compile
+        # time explodes); passed as an arg they are ordinary parameters.
+        tp = teacher_params_arg if teacher_params_arg is not None else teacher_params
         params, opt_state, step = state
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng, step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng, step, tp)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
@@ -349,14 +354,14 @@ def make_task_train_step(
     kd_fn(student_outputs, teacher_outputs) -> dict with 'loss_kd'
     """
 
-    def loss_fn(params, loga, lam, batch, rng, step):
+    def loss_fn(params, loga, lam, batch, rng, step, tp):
         zrng, srng, trng = jax.random.split(rng, 3)
         if frozen_zs is not None:
             zs = jax.tree.map(jax.lax.stop_gradient, frozen_zs)
         else:
             zs = l0_module.forward_train({"loga": loga}, zrng)
         student_outputs = student_forward(params, zs, batch, srng)
-        teacher_outputs = teacher_forward(jax.lax.stop_gradient(teacher_params), batch, trng)
+        teacher_outputs = teacher_forward(jax.lax.stop_gradient(tp), batch, trng)
         kd = kd_fn(student_outputs, teacher_outputs)
         loss_task = student_outputs["loss"]
         if frozen_zs is not None:
@@ -375,9 +380,12 @@ def make_task_train_step(
         }
         return loss, metrics
 
-    def train_step(state: TrainState, batch: dict, rng: Array):
+    def train_step(state: TrainState, batch: dict, rng: Array, teacher_params_arg=None):
+        # see make_gd_train_step: teacher params must be an argument, not a
+        # closure constant, or they inline into the compiled module
+        tp = teacher_params_arg if teacher_params_arg is not None else teacher_params
         (_, metrics), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
-            state.params, state.loga, state.lam, batch, rng, state.step
+            state.params, state.loga, state.lam, batch, rng, state.step, tp
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -417,9 +425,9 @@ def make_split_retrieval_train_step(
     internally two jits."""
 
     @jax.jit
-    def teacher_fwd(batch, rng):
+    def teacher_fwd(tp, batch, rng):
         out = teacher_model.forward(
-            jax.lax.stop_gradient(teacher_params),
+            jax.lax.stop_gradient(tp),
             batch["image"], batch["text_ids"], batch["text_atts"],
             idx=batch.get("idx"), zs=None, rng=rng,
             output_attentions=True, output_hidden_states=True,
@@ -464,9 +472,10 @@ def make_split_retrieval_train_step(
         )
         return apply_updates_3way(state, grads, optimizers), metrics
 
-    def train_step(state: TrainState, batch: dict, rng: Array):
+    def train_step(state: TrainState, batch: dict, rng: Array, teacher_params_arg=None):
+        tp = teacher_params_arg if teacher_params_arg is not None else teacher_params
         trng, srng = jax.random.split(rng)
-        teacher_outputs = teacher_fwd(batch, trng)
+        teacher_outputs = teacher_fwd(tp, batch, trng)
         return student_update(state, batch, teacher_outputs, srng)
 
     return train_step
@@ -488,7 +497,7 @@ def make_retrieval_train_step(
     student fwd w/ stochastic gates + KD vs frozen teacher + Lagrangian,
     3 optimizer updates. Returns (state, metrics)."""
 
-    def loss_fn(params, loga, lam, batch, rng, step):
+    def loss_fn(params, loga, lam, batch, rng, step, tp):
         zrng, srng, trng = jax.random.split(rng, 3)
         zs = l0_module.forward_train({"loga": loga}, zrng)
         student_outputs = student_model.forward(
@@ -498,7 +507,7 @@ def make_retrieval_train_step(
             axis_name=axis_name, train=True, dtype=dtype, impl=impl,
         )
         teacher_outputs = teacher_model.forward(
-            jax.lax.stop_gradient(teacher_params),
+            jax.lax.stop_gradient(tp),
             batch["image"], batch["text_ids"], batch["text_atts"],
             idx=batch.get("idx"), zs=None, rng=trng,
             output_attentions=True, output_hidden_states=True,
@@ -523,9 +532,12 @@ def make_retrieval_train_step(
         }
         return loss, metrics
 
-    def train_step(state: TrainState, batch: dict, rng: Array):
+    def train_step(state: TrainState, batch: dict, rng: Array, teacher_params_arg=None):
+        # see make_gd_train_step: teacher params must be an argument, not a
+        # closure constant, or they inline into the compiled module
+        tp = teacher_params_arg if teacher_params_arg is not None else teacher_params
         (_, metrics), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
-            state.params, state.loga, state.lam, batch, rng, state.step
+            state.params, state.loga, state.lam, batch, rng, state.step, tp
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

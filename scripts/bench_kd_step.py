@@ -79,11 +79,14 @@ def _models(batch, image_res, *, need_student=True, need_teacher_params=True):
     return student, teacher, tparams, l0, opts, state, batch_data
 
 
-def _teacher_fwd_fn(teacher, tparams):
+def _teacher_fwd_fn(teacher):
+    """teacher params are an ARGUMENT of the jitted fn — closed-over arrays
+    inline into the lowered module as constants (~800MB of HLO for the 12L
+    teacher), which the remote compile service rejects (HTTP 413)."""
     import jax
     import jax.numpy as jnp
 
-    def teacher_fwd(batch, rng):
+    def teacher_fwd(tparams, batch, rng):
         out = teacher.forward(
             jax.lax.stop_gradient(tparams),
             batch["image"], batch["text_ids"], batch["text_atts"],
@@ -106,12 +109,13 @@ def phase_teacher_fwd(batch=16, image_res=224, iters=8):
     import numpy as np
 
     _, teacher, tparams, _, _, _, batch_data = _models(batch, image_res, need_student=False)
-    fwd = jax.jit(_teacher_fwd_fn(teacher, tparams))
-    out = fwd(batch_data, jax.random.PRNGKey(5))
-    np.asarray(out["logits_dict"]["itm_head_logits"])  # host-fetch sync
+    fwd = jax.jit(_teacher_fwd_fn(teacher))
+    for w in range(2):
+        out = fwd(tparams, batch_data, jax.random.PRNGKey(5 + w))
+        np.asarray(out["logits_dict"]["itm_head_logits"])  # host-fetch sync
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fwd(batch_data, jax.random.PRNGKey(6 + i))
+        out = fwd(tparams, batch_data, jax.random.PRNGKey(6 + i))
     np.asarray(out["logits_dict"]["itm_head_logits"])
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({"phase": "teacher_fwd", "ms": round(dt * 1e3, 2)}))
@@ -128,9 +132,9 @@ def phase_student_update(batch=16, image_res=224, iters=8):
         batch, image_res, need_teacher_params=False)
     # shapes only — no teacher params/compile in this process
     t_abstract = jax.eval_shape(lambda k: teacher.init(k), jax.random.PRNGKey(1))
-    teacher_fwd = _teacher_fwd_fn(teacher, jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype), t_abstract))
-    t_shapes = jax.eval_shape(teacher_fwd, batch_data, jax.random.PRNGKey(5))
+    tz = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), t_abstract)
+    teacher_fwd = _teacher_fwd_fn(teacher)
+    t_shapes = jax.eval_shape(teacher_fwd, tz, batch_data, jax.random.PRNGKey(5))
     teacher_outputs = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), t_shapes)
 
     def loss_fn(params, loga, lam, batch, t_out, rng, step):
@@ -154,11 +158,15 @@ def phase_student_update(batch=16, image_res=224, iters=8):
         )
         return apply_updates_3way(state, grads, opts), loss
 
-    state, loss = student_update(state, batch_data, teacher_outputs, jax.random.PRNGKey(7))
-    np.asarray(loss)
+    # 3 warmup calls: the first iterations also pay the lazy upload of the
+    # ~0.6GB teacher-output tree + param state through the tunnel (measured
+    # 28s/37s before settling at ~72ms)
+    for w in range(3):
+        state, loss = student_update(state, batch_data, teacher_outputs, jax.random.PRNGKey(7 + w))
+        np.asarray(loss)
     t0 = time.perf_counter()
     for i in range(iters):
-        state, loss = student_update(state, batch_data, teacher_outputs, jax.random.PRNGKey(8 + i))
+        state, loss = student_update(state, batch_data, teacher_outputs, jax.random.PRNGKey(20 + i))
     np.asarray(loss)
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({"phase": "student_update", "ms": round(dt * 1e3, 2)}))

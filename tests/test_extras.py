@@ -73,7 +73,9 @@ def test_nlvr_pretrain_model():
 
 
 def test_scst_rewards():
-    crit = ScstRewardCriterion(sample_n=2)
+    # leave-one-out baseline variant (default is now 'greedy' like the
+    # reference ScstRewardCriterion)
+    crit = ScstRewardCriterion(sample_n=2, baseline_type="sample")
     gts = [["a dog runs fast", "the dog is running"], ["a red car parked", "the car is red"]]
     sampled = ["a dog runs", "the refrigerator", "a red car", "something else"]
     adv = crit.rewards(gts, sampled)
