@@ -119,13 +119,6 @@ def phase_pruned(sparsity=0.25):
     print(json.dumps({"tput": bench_model(model, _cast_bf16(params)), "sparsity": sparsity}))
 
 
-def phase_kd():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import scripts.bench_kd_step as k
-
-    k.main(batch=16)
-
-
 def _run_phase(phase: str, timeout=560):
     env = dict(os.environ)
     here = os.path.dirname(os.path.abspath(__file__))
@@ -146,18 +139,30 @@ def main():
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
         {"teacher": phase_teacher, "student": phase_student,
-         "pruned": phase_pruned, "kd": phase_kd}[phase]()
+         "pruned": phase_pruned}[phase]()
         return
 
     teacher = _run_phase("teacher")["tput"]
     student = _run_phase("student")["tput"]
     pruned = _run_phase("pruned")["tput"]
     try:
-        # the kd phase itself subprocesses its two programs (teacher fwd /
-        # student update compile separately — remote-compile constraint);
-        # compiles run ~300s + ~130s, so give it a generous budget
-        kd = _run_phase("kd", timeout=900)
-        kd_ms = kd.get("value")
+        # scripts/bench_kd_step.py subprocesses its two programs itself
+        # (teacher fwd / student update compile separately — remote-compile
+        # constraint); invoke it directly to avoid a third nesting level
+        here = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "bench_kd_step.py")],
+            capture_output=True, text=True, timeout=1800, env=env, cwd=here,
+        )
+        kd_ms = None
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                kd_ms = json.loads(line).get("value")
+                break
+            except json.JSONDecodeError:
+                continue
     except Exception:
         kd_ms = None
 

@@ -118,7 +118,9 @@ def main(args: Config, config: Config) -> dict:
                           tokenizer, val_loader, info, prompt, prompt_len)
 
     train_ds = CaptioningTrainDataset(
-        config["train_file"], ImageTransform.train(image_res, seed=args.get("seed", 42)),
+        config["train_file"],
+        common.preprocess_transform(
+            config, default=ImageTransform.train(image_res, seed=args.get("seed", 42))),
         config.get("image_root", ""), prompt=prompt, max_words=config.get("max_tokens", 30),
     )
     # per-device batch (reference per-GPU bs) × local chips
@@ -148,12 +150,14 @@ def main(args: Config, config: Config) -> dict:
             rng=rng, output_attentions=True, output_hidden_states=True, train=False,
         )
 
-    step_fn, mesh, _ = common.data_parallel_step(make_task_train_step(
-        student_forward, teacher_forward,
-        lambda s, t: captioning_kd_losses(s, t, temperature=float(args.get("temperature", 1.0))),
-        l0, optimizers, teacher_params=None,
-        task_weight=0.7, kd_weight=0.3,  # Eff_Captioning.py:144
-        axis_name=common.dp_axis_name(),
+    step_fn, mesh, _ = common.data_parallel_step(common.wrap_step_with_preprocess(
+        make_task_train_step(
+            student_forward, teacher_forward,
+            lambda s, t: captioning_kd_losses(s, t, temperature=float(args.get("temperature", 1.0))),
+            l0, optimizers, teacher_params=None,
+            task_weight=0.7, kd_weight=0.3,  # Eff_Captioning.py:144
+            axis_name=common.dp_axis_name(),
+        ), config,
     ), with_teacher=True)
 
     start_epoch = 0

@@ -202,6 +202,43 @@ def place_batch(batch: dict, mesh) -> dict:
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
+def preprocess_transform(config: Config, *, default=None):
+    """When config.device_preprocess is set, return the uint8 host transform
+    (decode+resize only) — augmentation/normalize then compile into the
+    train step via wrap_step_with_preprocess; else `default` (the usual
+    host-side PIL pipeline)."""
+    if not config.get("device_preprocess"):
+        return default
+    from ..data.transforms import ImageTransform
+
+    return ImageTransform.uint8(config.get("image_res", 224))
+
+
+def wrap_step_with_preprocess(step, config: Config, *, image_keys=("image",),
+                              hflip: bool = True, randaug: bool = True):
+    """Compile crop/flip/RandAugment/CLIP-normalize into the (sharded) train
+    step when device_preprocess is on (BASELINE north star: the host ships
+    uint8; the image path lives in the XLA graph). The wrapped step keeps
+    the (state, batch, rng, teacher_params) signature."""
+    if not config.get("device_preprocess"):
+        return step
+    from ..data.device_pipeline import preprocess_train
+
+    image_res = int(config.get("image_res", 224))
+
+    def wrapped(state, batch, rng, teacher_params=None):
+        prng, srng = jax.random.split(rng)
+        batch = dict(batch)
+        for i, k in enumerate(image_keys):
+            batch[k] = preprocess_train(
+                jax.random.fold_in(prng, i), batch[k], image_res,
+                hflip=hflip, randaug=randaug,
+            )
+        return step(state, batch, srng, teacher_params)
+
+    return wrapped
+
+
 def save_full_state(output_dir: str, state, extra: dict, *, tag="latest") -> None:
     """Persist the COMPLETE training state — params, gates, λ, and all three
     optimizer states — plus driver metadata (epoch/step), mirroring the

@@ -62,7 +62,8 @@ def main(args: Config, config: Config) -> dict:
     info = common.setup(args, config)
     tokenizer = build_tokenizer(config.get("text_encoder", ""))
     image_res = config.get("image_res", 384)
-    tform_train = ImageTransform.train(image_res, seed=args.get("seed", 42))
+    tform_train = common.preprocess_transform(
+        config, default=ImageTransform.train(image_res, seed=args.get("seed", 42)))
     tform_test = ImageTransform.test(image_res)
 
     student, teacher = build_models(config)
@@ -137,13 +138,15 @@ def main(args: Config, config: Config) -> dict:
             rng=rng, train=True, output_attentions=True, output_hidden_states=True,
         )
 
-    step_fn, mesh, _ = common.data_parallel_step(make_task_train_step(
-        student_forward, teacher_forward,
-        lambda s, t: nlvr_kd_losses(s, t, fusion_layer_s=fusion_s,
-                                    temperature=float(args.get("temperature", 1.0))),
-        l0, optimizers, teacher_params=None,
-        task_weight=0.8, kd_weight=0.2,  # Eff_NLVR.py:150
-        axis_name=common.dp_axis_name(),
+    step_fn, mesh, _ = common.data_parallel_step(common.wrap_step_with_preprocess(
+        make_task_train_step(
+            student_forward, teacher_forward,
+            lambda s, t: nlvr_kd_losses(s, t, fusion_layer_s=fusion_s,
+                                        temperature=float(args.get("temperature", 1.0))),
+            l0, optimizers, teacher_params=None,
+            task_weight=0.8, kd_weight=0.2,  # Eff_NLVR.py:150
+            axis_name=common.dp_axis_name(),
+        ), config, image_keys=("image0", "image1"),
     ), with_teacher=True)
 
     start_epoch = 0

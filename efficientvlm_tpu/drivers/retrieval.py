@@ -85,7 +85,9 @@ def main(args: Config, config: Config) -> dict:
     image_res = config.get("image_res", 224)
 
     train_ds = RetrievalTrainDataset(
-        config["train_file"], ImageTransform.train(image_res, seed=args.get("seed", 42)),
+        config["train_file"],
+        common.preprocess_transform(
+            config, default=ImageTransform.train(image_res, seed=args.get("seed", 42))),
         config.get("image_root", ""), max_words=config.get("max_tokens", 40),
     )
     # per-device batch (reference per-GPU bs, Eff_Retrieval.py:448-450) ×
@@ -145,11 +147,13 @@ def main(args: Config, config: Config) -> dict:
 
     dtype = _jnp.bfloat16 if config.get("compute_dtype", "bf16") == "bf16" else None
     impl = config.get("attn_impl", "fused")
-    step_fn, mesh, _ = common.data_parallel_step(make_retrieval_train_step(
-        student, teacher, l0, optimizers, teacher_params=None,
-        temperature=float(args.get("temperature", 1.0)),
-        axis_name=common.dp_axis_name(),
-        dtype=dtype, impl=impl,
+    step_fn, mesh, _ = common.data_parallel_step(common.wrap_step_with_preprocess(
+        make_retrieval_train_step(
+            student, teacher, l0, optimizers, teacher_params=None,
+            temperature=float(args.get("temperature", 1.0)),
+            axis_name=common.dp_axis_name(),
+            dtype=dtype, impl=impl,
+        ), config,
     ), with_teacher=True)
 
     best = 0.0

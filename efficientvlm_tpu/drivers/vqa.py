@@ -119,7 +119,9 @@ def main(args: Config, config: Config) -> dict:
         return {"results": merged}
 
     train_ds = VQADataset(
-        config["train_file"], ImageTransform.train_wohflip(image_res, seed=args.get("seed", 42)),
+        config["train_file"],
+        common.preprocess_transform(
+            config, default=ImageTransform.train_wohflip(image_res, seed=args.get("seed", 42))),
         config.get("vqa_root", ""), config.get("vg_root", ""), split="train",
         seed=args.get("seed", 42),
     )
@@ -165,11 +167,13 @@ def main(args: Config, config: Config) -> dict:
     )
 
     def build_step(frozen_zs=None):
-        return common.data_parallel_step(make_task_train_step(
-            student_forward, teacher_forward, kd_fn,
-            l0, optimizers, teacher_params=None,
-            task_weight=0.6, kd_weight=0.4,
-            axis_name=common.dp_axis_name(), frozen_zs=frozen_zs,
+        return common.data_parallel_step(common.wrap_step_with_preprocess(
+            make_task_train_step(
+                student_forward, teacher_forward, kd_fn,
+                l0, optimizers, teacher_params=None,
+                task_weight=0.6, kd_weight=0.4,
+                axis_name=common.dp_axis_name(), frozen_zs=frozen_zs,
+            ), config, hflip=False,  # reference VQA transform has no hflip
         ), with_teacher=True)
 
     step_fn, mesh, _ = build_step()

@@ -264,3 +264,45 @@ def test_grounding_driver(tmp_path, args):
     res = grounding.main(args2, cfg)
     assert len(res["results"]) == 16
     assert "val" in res and 0.0 <= res["val"] <= 100.0
+
+
+def test_retrieval_driver_device_preprocess(tmp_path, args):
+    """Stage-2 driver with the in-graph image pipeline: host ships uint8."""
+    from efficientvlm_tpu.drivers import retrieval
+
+    img_root = str(tmp_path / "imgs")
+    write_images(img_root, 16)
+    train_ann = [{"image": f"{i}.jpg", "caption": f"a dog photo {i}", "image_id": f"im{i}"} for i in range(16)]
+    eval_ann = [{"image": f"{i}.jpg", "caption": [f"a dog {i}"]} for i in range(4)]
+    json.dump(train_ann, open(tmp_path / "train.json", "w"))
+    json.dump(eval_ann, open(tmp_path / "val.json", "w"))
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "train.json")],
+        val_file=str(tmp_path / "val.json"),
+        test_file=str(tmp_path / "val.json"),
+        image_root=img_root,
+        device_preprocess=True,
+    )
+    out = retrieval.main(args, cfg)
+    assert "best_r_mean" in out
+
+
+def test_nlvr_driver_device_preprocess(tmp_path, args):
+    from efficientvlm_tpu.drivers import nlvr
+
+    img_root = str(tmp_path / "imgs")
+    write_images(img_root, 16)
+    ann = [{"images": [f"{i}.jpg", f"{(i+1) % 16}.jpg"], "sentence": f"two images {i}",
+            "label": "True" if i % 2 else "False"} for i in range(16)]
+    json.dump(ann, open(tmp_path / "nlvr.json", "w"))
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "nlvr.json")],
+        val_file=str(tmp_path / "nlvr.json"),
+        test_file=str(tmp_path / "nlvr.json"),
+        image_root=img_root,
+        device_preprocess=True,
+    )
+    out = nlvr.main(args, cfg)
+    assert 0 <= out["best_acc"] <= 100
