@@ -42,10 +42,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fused_kernel(num_heads: int, head_dim: int, scale: float):
+def _fused_kernel(num_heads: int, head_dim: int, scale: float, t_rows: int):
     # Mosaic requires dynamic-slice starts that are provably multiples of
     # the 128 lane width; head_dim=64 slices are not, so the loop walks
     # lane-aligned GROUPS of heads and splits them with static slices.
+    # t_rows < T: queries only need sublane-aligned ROWS, while keys/values
+    # need the full lane-padded length — at short sequences (text tower
+    # T=40 -> keys padded to 128, queries only to 16) this cuts the
+    # query-side matmul work ~3x.
     heads_per_group = max(1, LANE // head_dim)
     if num_heads % heads_per_group != 0:
         heads_per_group = num_heads  # single group (static start 0)
@@ -54,7 +58,8 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float):
 
     def kernel(h_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref, bv_ref,
                bias_ref, gate_ref, o_ref, acc_ref):
-        hidden = h_ref[0]  # [T, D]
+        hidden = h_ref[0]  # [T, D] (lane-padded length)
+        rows = hidden[:t_rows]  # query rows (sublane-padded length)
         key_bias = bias_ref[0, 0].astype(jnp.float32)  # [T]
 
         def group_body(gi, _):
@@ -65,7 +70,7 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float):
             # while the score matmul still accumulates in f32 on the MXU.
             sl = pl.ds(gi * group_width, group_width)
             qg = (jax.lax.dot_general(
-                hidden, wq_ref[:, sl], (((1,), (0,)), ((), ())),
+                rows, wq_ref[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bq_ref[0, sl].astype(jnp.float32)).astype(hidden.dtype)
             kg = (jax.lax.dot_general(
@@ -96,7 +101,7 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float):
                 )
                 gate = gate_ref[0, gi * heads_per_group + s]  # SMEM scalar
                 ctx_parts.append(ctx * gate)
-            ctx_g = jnp.concatenate(ctx_parts, axis=1)  # [T, group_width]
+            ctx_g = jnp.concatenate(ctx_parts, axis=1)  # [t_rows, group_width]
             out_g = jax.lax.dot_general(
                 ctx_g.astype(hidden.dtype), wog, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -112,15 +117,15 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim", "t_rows", "interpret"))
 def _fused_mha_padded(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
-                      num_heads: int, head_dim: int, interpret: bool):
+                      num_heads: int, head_dim: int, t_rows: int, interpret: bool):
     b, t, d = hidden.shape
     a = wq.shape[1]  # attention width — num_heads*head_dim, < d after pruning
     assert a == num_heads * head_dim, (a, num_heads, head_dim)
     scale = head_dim ** -0.5
     grid = (b,)
-    kernel = _fused_kernel(num_heads, head_dim, scale)
+    kernel = _fused_kernel(num_heads, head_dim, scale, t_rows)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -136,9 +141,9 @@ def _fused_mha_padded(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
             pl.BlockSpec((1, 1, t), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, num_heads), lambda bi: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, d), lambda bi: (bi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(hidden.shape, hidden.dtype),
-        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
+        out_specs=pl.BlockSpec((1, t_rows, d), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_rows, d), hidden.dtype),
+        scratch_shapes=[pltpu.VMEM((t_rows, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             # unrolled per-head temporaries can exceed the 16MB default
@@ -326,10 +331,15 @@ def fused_self_attention(
     multi_head_attention(...)[0] for self-attention without dropout.
 
     Supports RECTANGULAR projections (q kernel [D, A], A = num_heads *
-    head_dim < D) — the physically-pruned export's layer shapes."""
+    head_dim < D) — the physically-pruned export's layer shapes.
+
+    Padding is asymmetric: keys/values (and the score columns) need the
+    128-lane pad; query ROWS only need the sublane tile, so short
+    sequences don't pay a 128-row quadratic pad."""
     b, t, d = hidden.shape
     head_dim = params["q"]["kernel"].shape[1] // num_heads
     t_p = _round_up(max(t, 8), LANE)
+    t_rows = min(t_p, _round_up(max(t, 8), 16 if hidden.dtype == jnp.bfloat16 else 8))
     pad_t = t_p - t
     x = jnp.pad(hidden, ((0, 0), (0, pad_t), (0, 0))) if pad_t else hidden
 
@@ -352,7 +362,8 @@ def fused_self_attention(
         params["v"]["kernel"].astype(dt), params["out"]["kernel"].astype(dt),
         params["q"]["bias"].reshape(1, -1), params["k"]["bias"].reshape(1, -1),
         params["v"]["bias"].reshape(1, -1),
-        kb, gates, num_heads=num_heads, head_dim=head_dim, interpret=interpret,
+        kb, gates, num_heads=num_heads, head_dim=head_dim, t_rows=t_rows,
+        interpret=interpret,
     )
-    out = out[:, :t] if pad_t else out
+    out = out[:, :t] if out.shape[1] != t else out
     return out + params["out"]["bias"].astype(out.dtype)
