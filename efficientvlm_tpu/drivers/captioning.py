@@ -54,10 +54,13 @@ def evaluation(model, params, loader, tokenizer, config: Config, *, zs=None, dty
     num_beams = int(config.get("num_beams", 3))
     max_len = int(config.get("max_length", 20))
     results = []
+    impl = config.get("attn_impl", "fused")
+    if dtype is None and config.get("compute_dtype", "bf16") == "bf16":
+        dtype = jnp.bfloat16
     gen = jax.jit(lambda p, img, pids: model.generate(
         p, img, pids, max_length=max_len, min_length=int(config.get("min_length", 5)),
         num_beams=num_beams, eos_id=tokenizer.sep_token_id, pad_id=tokenizer.pad_token_id,
-        zs=zs, dtype=dtype,
+        zs=zs, dtype=dtype, impl=impl,
     ))
     for images, image_ids in loader:
         b = len(image_ids)

@@ -49,8 +49,11 @@ def build_l0(config: Config) -> XVLML0Module:
 
 def evaluate(model, params, loader, tokenizer, config: Config, *, zs=None, dtype=None):
     """Predict boxes for the eval split; returns [{'ref_id','pred'}]."""
+    impl = config.get("attn_impl", "fused")
+    if dtype is None and config.get("compute_dtype", "bf16") == "bf16":
+        dtype = jnp.bfloat16
     fwd = jax.jit(lambda p, img, ti, ta: model.forward(
-        p, img, ti, ta, train=False, zs=zs, dtype=dtype))
+        p, img, ti, ta, train=False, zs=zs, dtype=dtype, impl=impl))
     results = []
     for images, captions, ref_ids, widths, heights in loader:
         tok = tokenizer(list(captions), padding="max_length", truncation=True,

@@ -45,8 +45,11 @@ def build_l0(config: Config) -> NLVRL0Module:
 
 def evaluate(model, params, loader, tokenizer, config: Config, *, zs=None, dtype=None) -> float:
     preds, targets = [], []
+    impl = config.get("attn_impl", "fused")
+    if dtype is None and config.get("compute_dtype", "bf16") == "bf16":
+        dtype = jnp.bfloat16
     fwd = jax.jit(lambda p, img, ti, ta, tg: model.forward(
-        p, img, ti, ta, tg, train=False, zs=zs, dtype=dtype))
+        p, img, ti, ta, tg, train=False, zs=zs, dtype=dtype, impl=impl))
     for image0, image1, sentences, labels in loader:
         tok = tokenizer(list(sentences), padding="max_length", truncation=True,
                         max_length=config.get("max_tokens", 40))

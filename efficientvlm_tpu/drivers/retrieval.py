@@ -54,22 +54,29 @@ def build_l0(config: Config) -> XVLML0Module:
 
 def evaluate(model, params, eval_loader, eval_dataset, tokenizer, config: Config, *, zs=None, dtype=None):
     """Two-stage eval (Eff_Retrieval.py:216-332) + itm_eval; batches spread
-    over local chips (R.eval_mesh) on top of the reference's rank sharding."""
+    over local chips (R.eval_mesh) on top of the reference's rank sharding;
+    encoders/ITM rescore run the fused kernels (attn_impl, default fused)."""
     texts = eval_dataset.text
     tok = tokenizer(texts, padding="max_length", truncation=True,
                     max_length=config.get("max_tokens", 40))
     mesh = R.eval_mesh()
+    impl = config.get("attn_impl", "fused")
+    if dtype is None and config.get("compute_dtype", "bf16") == "bf16":
+        import jax.numpy as _jnp
+
+        dtype = _jnp.bfloat16
     text_feats, text_embeds = R.encode_texts(
         model, params, tok["input_ids"], tok["attention_mask"], zs=zs,
-        batch_size=config.get("batch_size_test_text", 64), dtype=dtype, mesh=mesh,
+        batch_size=config.get("batch_size_test_text", 64), dtype=dtype, mesh=mesh, impl=impl,
     )
     image_batches = (np.asarray(b[0]) for b in eval_loader)
-    image_feats, image_embeds = R.encode_images(model, params, image_batches, zs=zs, dtype=dtype, mesh=mesh)
+    image_feats, image_embeds = R.encode_images(
+        model, params, image_batches, zs=zs, dtype=dtype, mesh=mesh, impl=impl)
     score_i2t, score_t2i = R.retrieval_scores(
         model, params, image_feats, image_embeds, text_feats,
         np.asarray(tok["attention_mask"]), text_embeds,
         zs=zs, k_test=config.get("k_test", 256),
-        rank=get_rank(), world_size=get_world_size(), dtype=dtype, mesh=mesh,
+        rank=get_rank(), world_size=get_world_size(), dtype=dtype, mesh=mesh, impl=impl,
     )
     if get_world_size() > 1:
         from jax.experimental import multihost_utils

@@ -58,9 +58,12 @@ def evaluation(model, params, loader, tokenizer, config: Config, *, zs=None, dty
     ans = tokenizer(answer_list, padding="longest", truncation=True, max_length=20)
     k = min(int(config.get("k_test", 128)), len(answer_list))
     results = []
+    impl = config.get("attn_impl", "fused")
+    if dtype is None and config.get("compute_dtype", "bf16") == "bf16":
+        dtype = jnp.bfloat16
     fwd = jax.jit(lambda p, img, qi, qa: model.forward_eval(
         p, img, qi, qa, jnp.asarray(ans["input_ids"]), jnp.asarray(ans["attention_mask"]),
-        k=k, zs=zs, dtype=dtype,
+        k=k, zs=zs, dtype=dtype, impl=impl,
     ))
     for images, questions, qids in loader:
         tok = tokenizer(list(questions), padding="max_length", truncation=True,

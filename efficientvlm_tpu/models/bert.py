@@ -198,11 +198,11 @@ def bert_layer_apply(
     cross_probs = None
     if lp.get("crossattention") is not None and encoder_hidden is not None:
         use_fused_x = (
-            impl == "fused" and not output_probs
+            impl == "fused" and not output_probs and cache is None
             and not (train and (adrop > 0.0 or hdrop > 0.0))
             and (encoder_bias is None
                  or (encoder_bias.ndim == 4 and encoder_bias.shape[2] == 1))
-        )
+        )  # cached decode queries are 1 token — the XLA path wins there
         if use_fused_x:
             from ..ops.pallas_fused_mha import fused_cross_attention
 
