@@ -38,18 +38,23 @@ def eval_mesh():
     return Mesh(np.asarray(devs), ("data",))
 
 
-def _shard_args(mesh, *arrays):
-    """device_put batch-sharded when divisible by the mesh; jnp otherwise."""
-    out = []
+def _sharded_jit(mesh, fn, n_batch_args: int, n_out: int):
+    """jit fn(params, *batch_args) data-parallel over the mesh via an
+    EXPLICIT shard_map (params replicated, batch args sharded on axis 0).
+    Relying on the SPMD partitioner instead mis-partitions the Pallas
+    fused-attention custom call when params are device-replicated
+    (post-training state) — shard_map pins each device to its local shard."""
     if mesh is None:
-        return [jnp.asarray(a) for a in arrays]
-    from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.jit(fn)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
 
-    sh = NamedSharding(mesh, P("data"))
-    for a in arrays:
-        a = jnp.asarray(a)
-        out.append(jax.device_put(a, sh) if a.shape[0] % mesh.size == 0 else a)
-    return out
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(),) + (P("data"),) * n_batch_args,
+        out_specs=(P("data"),) * n_out if n_out > 1 else P("data"),
+        check_vma=False,
+    ))
 
 
 def encode_texts(model: XVLM, params, text_ids, text_atts, *, zs=None, batch_size=256, dtype=None, impl="xla", mesh=None):
@@ -57,19 +62,21 @@ def encode_texts(model: XVLM, params, text_ids, text_atts, *, zs=None, batch_siz
 
     # params as an ARGUMENT: closure arrays inline into the lowered module
     # as constants (oversized/slow at production scale)
-    @jax.jit
     def _enc(p, ids, atts):
         out = model.get_text_embeds(p, ids, atts, zs=zs, dtype=dtype, impl=impl)
         h = out["last_hidden"]
         return h, model.get_features(p, text_embeds=h, dtype=dtype)
 
+    if mesh is not None and batch_size % mesh.size != 0:
+        batch_size += -batch_size % mesh.size
+    enc = _sharded_jit(mesh, _enc, 2, 2)
     feats, embeds = [], []
     n = text_ids.shape[0]
     pad = (-n) % batch_size
     ids = np.concatenate([text_ids, np.repeat(text_ids[-1:], pad, 0)]) if pad else text_ids
     atts = np.concatenate([text_atts, np.repeat(text_atts[-1:], pad, 0)]) if pad else text_atts
     for i in range(0, n + pad, batch_size):
-        h, e = _enc(params, *_shard_args(mesh, ids[i : i + batch_size], atts[i : i + batch_size]))
+        h, e = enc(params, jnp.asarray(ids[i : i + batch_size]), jnp.asarray(atts[i : i + batch_size]))
         feats.append(np.asarray(h))
         embeds.append(np.asarray(e))
     return np.concatenate(feats)[:n], np.concatenate(embeds)[:n]
@@ -79,14 +86,17 @@ def encode_images(model: XVLM, params, image_batches, *, zs=None, dtype=None, im
     """image_batches: iterable of [B,H,W,3] arrays (uniform B except last).
     Returns (image_feats [N,S,D], image_embeds [N,E])."""
 
-    @jax.jit
     def _enc(p, img):
         embeds, _, _ = model.get_vision_embeds(p, img, zs=zs, dtype=dtype, impl=impl)
         return embeds, model.get_features(p, image_embeds=embeds, dtype=dtype)
 
+    enc_sharded = _sharded_jit(mesh, _enc, 1, 2)
+    enc_plain = jax.jit(_enc)
     feats, embeds = [], []
     for img in image_batches:
-        h, e = _enc(params, *_shard_args(mesh, img))
+        img = jnp.asarray(img)
+        fn = enc_sharded if (mesh is not None and img.shape[0] % mesh.size == 0) else enc_plain
+        h, e = fn(params, img)
         feats.append(np.asarray(h))
         embeds.append(np.asarray(e))
     return np.concatenate(feats), np.concatenate(embeds)
@@ -108,48 +118,78 @@ def retrieval_scores(
     dtype=None,
     impl="xla",
     mesh=None,
+    rows_per_call: int = 4,  # ITM batch per dispatch = rows_per_call * k_test
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (score_matrix_i2t [Ni,Nt], score_matrix_t2i [Nt,Ni]) with this
-    rank's rows filled and -100 elsewhere."""
+    rank's rows filled and -100 elsewhere.
+
+    The rerank keeps the feature banks DEVICE-RESIDENT (uploaded once, cast
+    to the compute dtype) and dispatches `rows_per_call` query rows per
+    jitted call with index-only host->device traffic — the reference (and
+    the round-1 port) re-shipped a [k_test, S, D] broadcast (~hundreds of
+    MB) from host per row."""
     n_img, n_txt = image_embeds.shape[0], text_embeds.shape[0]
     k_i2t = min(k_test, n_txt)
     k_t2i = min(k_test, n_img)
     sims = image_embeds @ text_embeds.T  # [Ni, Nt]
 
-    @jax.jit
-    def _itm_score(p, img_feats_k, txt_feats_k, txt_atts_k):
-        img_atts = jnp.ones(img_feats_k.shape[:2], jnp.int32)
+    feat_dt = dtype or jnp.float32
+    img_bank = jax.device_put(jnp.asarray(image_feats, feat_dt))
+    txt_bank = jax.device_put(jnp.asarray(text_feats, feat_dt))
+    att_bank = jax.device_put(jnp.asarray(text_atts, jnp.int32))
+
+    def _scores(p, img_rows, txt_rows, atts_rows, r, k):
+        """img_rows [R,S,D] query/candidate image feats already expanded to
+        [R*k] pairing on the caller side via gathers."""
+        img_atts = jnp.ones(img_rows.shape[:2], jnp.int32)
         out = model.get_cross_embeds(
-            p, img_feats_k, img_atts, text_embeds=txt_feats_k,
-            text_atts=txt_atts_k, zs=zs, dtype=dtype, impl=impl,
+            p, img_rows, img_atts, text_embeds=txt_rows,
+            text_atts=atts_rows, zs=zs, dtype=dtype, impl=impl,
         )
         logits = mlp_head_apply(p["itm_head"], out["last_hidden"][:, 0], dtype=dtype)
-        return logits[:, 1]
+        return logits[:, 1].reshape(r, k)
+
+    @jax.jit
+    def _i2t_chunk(p, ib, tb, ab, row_idx, cand_idx):
+        r, k = cand_idx.shape
+        img = jnp.repeat(ib[row_idx], k, axis=0)        # [R*k, S, D]
+        txt = tb[cand_idx.reshape(-1)]                  # [R*k, T, D]
+        att = ab[cand_idx.reshape(-1)]
+        return _scores(p, img, txt, att, r, k)
+
+    @jax.jit
+    def _t2i_chunk(p, ib, tb, ab, row_idx, cand_idx):
+        r, k = cand_idx.shape
+        img = ib[cand_idx.reshape(-1)]
+        txt = jnp.repeat(tb[row_idx], k, axis=0)
+        att = jnp.repeat(ab[row_idx], k, axis=0)
+        return _scores(p, img, txt, att, r, k)
 
     def shard_range(n):
         step = n // world_size + 1
         start = rank * step
         return start, min(n, start + step)
 
-    score_i2t = np.full((n_img, n_txt), -100.0, np.float32)
-    s, e = shard_range(n_img)
-    for i in range(s, e):
-        topk_idx = np.argsort(-sims[i])[:k_i2t]
-        img_k = np.broadcast_to(image_feats[i], (k_i2t,) + image_feats[i].shape)
-        score = _itm_score(
-            params, *_shard_args(mesh, img_k, text_feats[topk_idx], text_atts[topk_idx])
-        )
-        score_i2t[i, topk_idx] = np.asarray(score)
+    def run(chunk_fn, sims_dir, n_rows, k):
+        score = np.full((n_rows, sims_dir.shape[1]), -100.0, np.float32)
+        s, e = shard_range(n_rows)
+        rows = np.arange(s, e)
+        # top-k candidate ids per row, host-side argpartition (cheap)
+        for c0 in range(0, len(rows), rows_per_call):
+            chunk = rows[c0 : c0 + rows_per_call]
+            if len(chunk) < rows_per_call:  # pad to the static shape
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], rows_per_call - len(chunk))])
+            cand = np.argsort(-sims_dir[chunk], axis=1)[:, :k]
+            out = np.asarray(chunk_fn(
+                params, img_bank, txt_bank, att_bank,
+                jnp.asarray(chunk), jnp.asarray(cand),
+            ))
+            for j, i in enumerate(rows[c0 : c0 + rows_per_call]):
+                score[i, cand[j]] = out[j]
+        return score
 
-    score_t2i = np.full((n_txt, n_img), -100.0, np.float32)
-    s, e = shard_range(n_txt)
-    for i in range(s, e):
-        topk_idx = np.argsort(-sims.T[i])[:k_t2i]
-        txt_k = np.broadcast_to(text_feats[i], (k_t2i,) + text_feats[i].shape)
-        att_k = np.broadcast_to(text_atts[i], (k_t2i,) + text_atts[i].shape)
-        score = _itm_score(params, *_shard_args(mesh, image_feats[topk_idx], txt_k, att_k))
-        score_t2i[i, topk_idx] = np.asarray(score)
-
+    score_i2t = run(_i2t_chunk, sims, n_img, k_i2t)
+    score_t2i = run(_t2i_chunk, sims.T, n_txt, k_t2i)
     return score_i2t, score_t2i
 
 

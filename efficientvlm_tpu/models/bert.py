@@ -167,6 +167,7 @@ def bert_layer_apply(
             impl == "fused" and not output_probs and cache is None
             and not (train and (adrop > 0.0 or hdrop > 0.0))
             and (bias is None or (bias.ndim == 4 and bias.shape[2] == 1))
+            and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
         )
         if use_fused:
             from ..ops.pallas_fused_mha import fused_self_attention
@@ -202,6 +203,7 @@ def bert_layer_apply(
             and not (train and (adrop > 0.0 or hdrop > 0.0))
             and (encoder_bias is None
                  or (encoder_bias.ndim == 4 and encoder_bias.shape[2] == 1))
+            and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
         )  # cached decode queries are 1 token — the XLA path wins there
         if use_fused_x:
             from ..ops.pallas_fused_mha import fused_cross_attention

@@ -59,7 +59,10 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float, t_rows: int):
     def kernel(h_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref, bv_ref,
                bias_ref, gate_ref, o_ref, acc_ref):
         hidden = h_ref[0]  # [T, D] (lane-padded length)
-        rows = hidden[:t_rows]  # query rows (sublane-padded length)
+        # query rows (sublane-padded length); keep a literal no-op when not
+        # trimming — Mosaic rejects even a full-range slice as a matmul lhs
+        # at narrow model widths
+        rows = hidden if t_rows == hidden.shape[0] else hidden[:t_rows]
         key_bias = bias_ref[0, 0].astype(jnp.float32)  # [T]
 
         def group_body(gi, _):
@@ -283,8 +286,11 @@ def fused_cross_attention(
     b, t, d = hidden.shape
     s = encoder_hidden.shape[1]
     head_dim = params["q"]["kernel"].shape[1] // num_heads
-    # rows (queries) pad to the sublane tile, cols (keys) to the lane width
-    t_p = _round_up(max(t, 8), 16 if hidden.dtype == jnp.bfloat16 else 8)
+    # rows (queries) pad to the sublane tile, cols (keys) to the lane width;
+    # at narrow model widths (d < one lane — tiny test configs) Mosaic
+    # rejects short-row matmul lhs, so pad rows to the lane width there too
+    row_tile = (16 if hidden.dtype == jnp.bfloat16 else 8) if d >= LANE else LANE
+    t_p = _round_up(max(t, 8), row_tile)
     s_p = _round_up(max(s, 8), LANE)
     x = jnp.pad(hidden, ((0, 0), (0, t_p - t), (0, 0))) if t_p != t else hidden
     e = (jnp.pad(encoder_hidden, ((0, 0), (0, s_p - s), (0, 0)))
@@ -339,7 +345,13 @@ def fused_self_attention(
     b, t, d = hidden.shape
     head_dim = params["q"]["kernel"].shape[1] // num_heads
     t_p = _round_up(max(t, 8), LANE)
-    t_rows = min(t_p, _round_up(max(t, 8), 16 if hidden.dtype == jnp.bfloat16 else 8))
+    # row trimming only at lane-wide models: Mosaic rejects the sliced-rows
+    # matmul ("Bad lhs type") when the model dim is narrower than one lane
+    # (tiny test configs); production widths are >= 256
+    if d >= LANE:
+        t_rows = min(t_p, _round_up(max(t, 8), 16 if hidden.dtype == jnp.bfloat16 else 8))
+    else:
+        t_rows = t_p
     pad_t = t_p - t
     x = jnp.pad(hidden, ((0, 0), (0, pad_t), (0, 0))) if pad_t else hidden
 
