@@ -150,8 +150,16 @@ def data_parallel_step(step_fn, *, fold_rng: bool = True, with_teacher: bool = F
 
     Returns (jitted_fn, mesh, n_devices); with one device this degrades to
     plain jax.jit and mesh=None.
+
+    The mesh spans ALL devices of ALL processes (jax.devices()), matching
+    the reference's DDP gradient all-reduce across every rank
+    (apex_ddp_accelerator.py:79-89) and its world-batch contrastive
+    AllGather (models/xvlm.py:55-75): with jax.distributed initialized,
+    grads pmean and the ITC all_gather ride the full 'data' axis, so
+    multi-host replicas stay bit-identical. Each process feeds its rank's
+    loader shard; place_batch assembles the global batch array.
     """
-    devices = jax.local_devices()
+    devices = jax.devices()
     n = len(devices)
     if n == 1:
         return jax.jit(step_fn), None, 1
@@ -187,19 +195,45 @@ def data_parallel_step(step_fn, *, fold_rng: bool = True, with_teacher: bool = F
 
 
 def dp_axis_name() -> Optional[str]:
-    """'data' when >1 local device (drivers pass it into step factories so
-    grads/metrics pmean and the ITC all_gather span the mesh), else None."""
-    return "data" if jax.local_device_count() > 1 else None
+    """'data' when >1 GLOBAL device (drivers pass it into step factories so
+    grads/metrics pmean and the ITC all_gather span the whole mesh — e.g. a
+    2-host x 1-chip topology still needs the axis), else None."""
+    return "data" if jax.device_count() > 1 else None
 
 
 def place_batch(batch: dict, mesh) -> dict:
-    """Async device_put of a host batch, sharded on the data axis."""
+    """Device placement of a host batch, sharded on the data axis.
+
+    Single process: async device_put over local chips. Multi-process: each
+    process contributes its rank's loader shard and the global batch array
+    is assembled with jax.make_array_from_process_local_data — the global
+    leading dim is per-host-batch x process_count, so the train step's
+    collectives span every host (the reference's DDP world batch)."""
     if mesh is None:
         return batch
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def maybe_parallel_loader(loader, config: Config, *, num_workers: Optional[int] = None):
+    """Wrap a map-style train loader in the thread worker pool (the
+    DataLoader-num_workers analogue) when the host has cores to spare.
+    Worker pools only help with >1 core: on a single-core host the GIL/IPC
+    overhead makes them 20-50% SLOWER (scripts/bench_input_pipeline.py)."""
+    n = int(config.get("num_workers", 4) if num_workers is None else num_workers)
+    if n > 1 and (os.cpu_count() or 1) > 2 and hasattr(loader, "batch_size"):
+        from ..data.prefetch import ProcessMapLoader
+
+        return ProcessMapLoader(loader, num_workers=n,
+                                seed=int(config.get("seed", 42)))
+    return loader
 
 
 def preprocess_transform(config: Config, *, default=None):

@@ -26,10 +26,14 @@ Array = jax.Array
 
 
 def eval_mesh():
-    """1-axis mesh over local devices for data-parallel eval, or None on a
-    single chip (the reference shards eval by RANK only; here each process
-    additionally spreads its batches over its local chips — XLA partitions
-    the batch-parallel jitted encoders/scorers from the input sharding)."""
+    """1-axis mesh over LOCAL devices for data-parallel eval, or None on a
+    single chip. Local (not global) is deliberate and correct here, unlike
+    the train step: eval work is partitioned by process RANK up front (each
+    rank scores its slice of the gallery independently, exactly the
+    reference's rank-sharded eval, Eff_Retrieval.py:216-332) and results
+    are combined host-side via process_allgather — no cross-host collective
+    exists in the eval graphs, so nothing can diverge. Each process merely
+    spreads its own batches over its local chips."""
     devs = jax.local_devices()
     if len(devs) == 1:
         return None
