@@ -29,6 +29,10 @@ import time
 def build(num_vision_layers, num_text_layers, image_res=384):
     import jax
 
+    from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
     from efficientvlm_tpu.models.model_retrieval import XVLMForRetrieval
 
@@ -108,18 +112,90 @@ def phase_student():
 
 
 def phase_pruned(sparsity=0.25):
+    """Physical export at the ITR target sparsity 0.25 with the MXU-exact
+    head-pair/128-wide allocation (aligned_zs): identical parameter
+    sparsity to the uniform spread, but no zero-unit re-padding at export
+    so every sliced matmul tiles the MXU exactly."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from scripts.bench_prune_probe import uniform_zs
+    from scripts.bench_prune_probe import aligned_zs
 
     from efficientvlm_tpu.pruning.export import prune_xvlm_params
 
     model, params = build(6, 6)
-    zs = uniform_zs(sparsity)
+    zs = aligned_zs(sparsity)
+    realized = zs.pop("__realized_sparsity__")
     params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
-    print(json.dumps({"tput": bench_model(model, _cast_bf16(params)), "sparsity": sparsity}))
+    print(json.dumps({"tput": bench_model(model, _cast_bf16(params)),
+                      "sparsity": sparsity, "realized_sparsity": realized}))
 
 
-def _run_phase(phase: str, timeout=560):
+def build_vqa(num_layers, image_res=480):
+    import jax
+
+    from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+    from efficientvlm_tpu.models.model_generation import XVLMForVQA
+    from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    vcfg = VisionConfig.create(num_hidden_layers=num_layers, image_res=image_res)
+    tcfg = TextConfig.create(
+        num_hidden_layers=num_layers, fusion_layer=num_layers // 2, encoder_width=768,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = XVLMForVQA(vcfg, tcfg, Config({"pad_token_id": 0}))
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def bench_vqa(model, params, batch=16, image_res=480, iters=10, k=128,
+              num_answers=3128, answer_len=6, impl="fused"):
+    """The VQA eval unit of work (Eff_VQA.py evaluation): 480px image +
+    question fusion encode, then the two-call k-way answer rerank
+    (model_generation rank_answer). Throughput = questions/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    image = jax.random.normal(jax.random.PRNGKey(1), (batch, image_res, image_res, 3), jnp.bfloat16)
+    q_ids = jax.random.randint(jax.random.PRNGKey(2), (batch, 25), 0, 30522)
+    q_atts = jnp.ones((batch, 25), jnp.int32)
+    a_ids = jax.random.randint(jax.random.PRNGKey(3), (num_answers, answer_len), 0, 30522)
+    a_atts = jnp.ones((num_answers, answer_len), jnp.int32)
+
+    fwd = jax.jit(lambda p, i, qi, qa: model.forward_eval(
+        p, i, qi, qa, a_ids, a_atts, k=k, dtype=jnp.bfloat16, impl=impl))
+    out = fwd(params, image, q_ids, q_atts)
+    np.asarray(out[0])  # host-fetch sync (tunnel: block_until_ready lies)
+    t0 = time.perf_counter()
+    outs = [fwd(params, image, q_ids, q_atts) for _ in range(iters)]
+    np.asarray(outs[-1][0])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def phase_vqa_teacher():
+    model, params = build_vqa(12)
+    print(json.dumps({"tput": bench_vqa(model, _cast_bf16(params))}))
+
+
+def phase_pruned_vqa(sparsity=0.35):
+    """BASELINE.md VQA operating point: sparsity 0.35 at 480px
+    (configs/x-vlm-small-ft/VQA_480.yaml)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_prune_probe import aligned_zs
+
+    from efficientvlm_tpu.pruning.export import prune_xvlm_params
+
+    model, params = build_vqa(6)
+    num_dec = model.decoder_cfg["num_hidden_layers"]
+    zs = aligned_zs(sparsity, decoder_layers=num_dec)
+    realized = zs.pop("__realized_sparsity__")
+    params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
+    print(json.dumps({"tput": bench_vqa(model, _cast_bf16(params)),
+                      "sparsity": sparsity, "realized_sparsity": realized}))
+
+
+def _run_phase(phase: str, timeout=1200):
     env = dict(os.environ)
     here = os.path.dirname(os.path.abspath(__file__))
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
@@ -139,12 +215,20 @@ def main():
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
         {"teacher": phase_teacher, "student": phase_student,
-         "pruned": phase_pruned}[phase]()
+         "pruned": phase_pruned, "vqa_teacher": phase_vqa_teacher,
+         "pruned_vqa": phase_pruned_vqa}[phase]()
         return
 
     teacher = _run_phase("teacher")["tput"]
     student = _run_phase("student")["tput"]
     pruned = _run_phase("pruned")["tput"]
+    pruned_vqa = vqa_teacher = None
+    try:
+        pruned_vqa = _run_phase("pruned_vqa", timeout=1500).get("tput")
+        vqa_teacher = _run_phase("vqa_teacher", timeout=1500).get("tput")
+    except Exception as e:
+        print(f"### vqa phase failed: {e}", file=sys.stderr)
+    kd_ms = None
     try:
         # scripts/bench_kd_step.py subprocesses its two programs itself
         # (teacher fwd / student update compile separately — remote-compile
@@ -154,17 +238,20 @@ def main():
         env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
         out = subprocess.run(
             [sys.executable, os.path.join(here, "scripts", "bench_kd_step.py")],
-            capture_output=True, text=True, timeout=1800, env=env, cwd=here,
+            capture_output=True, text=True, timeout=4200, env=env, cwd=here,
         )
-        kd_ms = None
         for line in reversed(out.stdout.strip().splitlines()):
             try:
                 kd_ms = json.loads(line).get("value")
                 break
             except json.JSONDecodeError:
                 continue
-    except Exception:
-        kd_ms = None
+        if kd_ms is None:
+            print(f"### kd_step produced no JSON; stdout tail: {out.stdout[-400:]} "
+                  f"stderr tail: {out.stderr[-400:]}", file=sys.stderr)
+    except Exception as e:
+        # a null headline metric must be LOUD, not silent (round-2 lesson)
+        print(f"### kd_step bench failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "pruned_retrieval_pairs_per_sec_per_chip",
@@ -176,6 +263,11 @@ def main():
         "pruned_sparsity": 0.25,
         "student_vs_teacher": round(student / teacher, 3),
         "kd_step_ms_b16_224px": kd_ms,
+        "pruned_vqa_480_q_per_sec": round(pruned_vqa, 2) if pruned_vqa else None,
+        "vqa_teacher_q_per_sec": round(vqa_teacher, 2) if vqa_teacher else None,
+        "pruned_vqa_sparsity": 0.35,
+        "pruned_vqa_vs_teacher": (
+            round(pruned_vqa / vqa_teacher, 3) if pruned_vqa and vqa_teacher else None),
     }))
 
 

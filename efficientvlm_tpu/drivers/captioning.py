@@ -129,8 +129,9 @@ def main(args: Config, config: Config) -> dict:
     # per-device batch (reference per-GPU bs) × local chips
     n_dev = jax.local_device_count()
     bs = int(args.get("bs") or config.get("batch_size_train", 16)) * n_dev
-    train_loader = SimpleLoader(train_ds, batch_size=bs, shuffle=True, drop_last=True,
-                                rank=info["rank"], world_size=info["world_size"])
+    train_loader = common.maybe_parallel_loader(
+        SimpleLoader(train_ds, batch_size=bs, shuffle=True, drop_last=True,
+                     rank=info["rank"], world_size=info["world_size"]), config)
     epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 5))
     steps_per_epoch = max(len(train_loader), 1)
     l0.lagrangian_warmup = int(
@@ -230,10 +231,10 @@ def scst_train(args, config, student, sparams, l0, l0_params, tokenizer,
         config.get("image_root", ""), max_words=config.get("max_tokens", 30),
         n_gts=sample_n, seed=int(args.get("seed", 42)),
     )
-    train_loader = SimpleLoader(
+    train_loader = common.maybe_parallel_loader(SimpleLoader(
         train_ds, batch_size=bs, shuffle=True, drop_last=True,
         rank=info["rank"], world_size=info["world_size"], collate_fn=scst_collate,
-    )
+    ), config)
     epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 3))
     steps_per_epoch = max(len(train_loader), 1)
     opt_cfg = config.get("optimizer", Config())

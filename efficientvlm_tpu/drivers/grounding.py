@@ -104,8 +104,9 @@ def main(args: Config, config: Config) -> dict:
     )
     n_dev = jax.local_device_count()
     bs = int(args.get("bs") or config.get("batch_size_train", 16)) * n_dev
-    train_loader = SimpleLoader(train_ds, batch_size=bs, shuffle=True, drop_last=True,
-                                rank=info["rank"], world_size=info["world_size"])
+    train_loader = common.maybe_parallel_loader(
+        SimpleLoader(train_ds, batch_size=bs, shuffle=True, drop_last=True,
+                     rank=info["rank"], world_size=info["world_size"]), config)
     epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 10))
     steps_per_epoch = max(len(train_loader), 1)
     l0.lagrangian_warmup = int(

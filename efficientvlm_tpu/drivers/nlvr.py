@@ -109,10 +109,10 @@ def main(args: Config, config: Config) -> dict:
     # per-device batch (reference per-GPU bs) × local chips
     n_dev = jax.local_device_count()
     bs = int(args.get("bs") or config.get("batch_size_train", 16)) * n_dev
-    train_loader = SimpleLoader(
+    train_loader = common.maybe_parallel_loader(SimpleLoader(
         train_ds, batch_size=bs, shuffle=True, drop_last=True,
         rank=info["rank"], world_size=info["world_size"],
-    )
+    ), config)
     epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 10))
     steps_per_epoch = max(len(train_loader), 1)
     l0.lagrangian_warmup = int(
@@ -138,7 +138,9 @@ def main(args: Config, config: Config) -> dict:
         images = jnp.concatenate([batch["image0"], batch["image1"]], axis=0)
         return teacher.forward(
             params, images, batch["text_ids"], batch["text_atts"], batch["targets"],
-            rng=rng, train=True, output_attentions=True, output_hidden_states=True,
+            # teacher runs in eval mode (no dropout) so KD targets are
+            # deterministic — reference teacher is .eval() (Eff_NLVR.py)
+            rng=rng, train=False, output_attentions=True, output_hidden_states=True,
         )
 
     step_fn, mesh, _ = common.data_parallel_step(common.wrap_step_with_preprocess(

@@ -13,7 +13,6 @@ import numpy as np
 
 from ..config import Config
 from ..data.datasets import RetrievalEvalDataset, RetrievalTrainDataset, SimpleLoader
-from ..data.prefetch import ParallelMapLoader
 from ..data.tokenizer import build_tokenizer
 from ..data.transforms import ImageTransform
 from ..evaluation import retrieval as R
@@ -105,11 +104,7 @@ def main(args: Config, config: Config) -> dict:
         train_ds, batch_size=bs, shuffle=True, drop_last=True,
         rank=info["rank"], world_size=info["world_size"],
     )
-    # worker pools only help with >1 core: on a single-core host the GIL/IPC
-    # overhead makes them 20-50% SLOWER (scripts/bench_input_pipeline.py)
-    num_workers = int(config.get("num_workers", 4))
-    if num_workers > 1 and (os.cpu_count() or 1) > 2:
-        train_loader = ParallelMapLoader(train_loader, num_workers=num_workers)
+    train_loader = common.maybe_parallel_loader(train_loader, config)
     val_ds = RetrievalEvalDataset(
         config["val_file"], ImageTransform.test(image_res), config.get("image_root", ""),
     )

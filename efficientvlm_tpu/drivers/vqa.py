@@ -134,11 +134,11 @@ def main(args: Config, config: Config) -> dict:
     bs = int(args.get("bs") or config.get("batch_size_train", 8)) * n_dev
     from functools import partial
 
-    train_loader = SimpleLoader(
+    train_loader = common.maybe_parallel_loader(SimpleLoader(
         train_ds, batch_size=bs, shuffle=True, drop_last=True,
         rank=info["rank"], world_size=info["world_size"],
         collate_fn=partial(vqa_collate, n_shards=n_dev),
-    )
+    ), config)
     epochs = int(args.get("epoch") or config.get("schedular", {}).get("epochs", 10))
     steps_per_epoch = max(len(train_loader), 1)
     l0.lagrangian_warmup = int(

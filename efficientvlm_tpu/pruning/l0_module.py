@@ -142,16 +142,19 @@ class L0Module:
         return loss, expected_sparsity, target
 
     def calculate_model_size(self, zs: dict) -> dict:
-        """Binary accounting of a zs dict (xvlm_l0_module.py:286-320)."""
+        """Binary accounting of a zs dict (xvlm_l0_module.py:286-320).
+        Emitted zs may be an `expand`-times repeat of the raw gate rows
+        (head_group > 1), so per-unit params = params_per_dim / expand."""
         results = {}
-        remaining = 0
+        remaining = 0.0
         for name, g in self.groups.items():
-            z = np.asarray(zs[f"{name}_z"]).reshape(g["shape"]) > 0
+            z = np.asarray(zs[f"{name}_z"]).reshape(g["shape"][0], -1) > 0
+            expand = z.size // int(np.prod(g["shape"]))
             per_layer = z.sum(-1).tolist()
             results[f"{name}_nums"] = per_layer
-            remaining += int(z.sum()) * g["params_per_dim"]
-        results["remaining_params"] = remaining
-        results["pruned_params"] = self.prunable_model_size - remaining
+            remaining += int(z.sum()) * (g["params_per_dim"] / expand)
+        results["remaining_params"] = int(remaining)
+        results["pruned_params"] = self.prunable_model_size - int(remaining)
         results["pruned_model_sparsity"] = results["pruned_params"] / self.prunable_model_size
         return results
 
@@ -174,12 +177,31 @@ def _interleave_to_pairs(z):
     return z.reshape(-1, 2, z.shape[-1])
 
 
-def _head_group(L, H, pph):
-    return dict(shape=(L, H), params_per_dim=pph, init_mean=10.0)
+def _repeat_heads(group: int):
+    """One learned gate drives `group` adjacent heads: with head_dim 64 and
+    group=2 every surviving attention width is a 128-lane multiple, so
+    physical export (pruning/export.py) never re-adds zero heads for MXU
+    alignment — the pruned program keeps exactly the FLOPs it paid for."""
+    return lambda z: jnp.repeat(z, group, axis=-1)
+
+
+def _head_group(L, H, pph, group: int = 1):
+    assert H % group == 0, (H, group)
+    g = dict(shape=(L, H // group), params_per_dim=pph * group, init_mean=10.0)
+    if group > 1:
+        g["emit"] = _repeat_heads(group)
+    return g
 
 
 def _int_group(L, I, ppi):
     return dict(shape=(L, I), params_per_dim=ppi, init_mean=None)
+
+
+def _cross_emit(group: int):
+    if group == 1:
+        return _interleave_to_pairs
+    rep = _repeat_heads(group)
+    return lambda z: _interleave_to_pairs(rep(z))
 
 
 def XVLML0Module(
@@ -193,19 +215,22 @@ def XVLML0Module(
     vision_hidden_size: int | None = None,
     vision_intermediate_size: int | None = None,
     vision_num_heads: int | None = None,
+    head_group: int = 1,
     **kw,
 ) -> L0Module:
     """The reference assumes both towers are 768/12/3072; the vision_*
-    overrides support differing tower geometries."""
+    overrides support differing tower geometries. head_group=2 learns gates
+    over head PAIRS (128-lane groups) so export is MXU-exact."""
     v_hidden = vision_hidden_size or hidden_size
     v_int = vision_intermediate_size or intermediate_size
     v_heads = vision_num_heads or num_heads
     pph, ppi = _bert_sizes(hidden_size, intermediate_size, num_heads)
     vpph, vppi = _bert_sizes(v_hidden, v_int, v_heads)
     groups = {
-        "vision_head": _head_group(vision_layers, v_heads, vpph),
-        "text_head": _head_group(text_layers, num_heads, pph),
-        "cross_head": {**_head_group(cross_layers * 2, num_heads, pph), "emit": _interleave_to_pairs},
+        "vision_head": _head_group(vision_layers, v_heads, vpph, head_group),
+        "text_head": _head_group(text_layers, num_heads, pph, head_group),
+        "cross_head": {**_head_group(cross_layers * 2, num_heads, pph, head_group),
+                       "emit": _cross_emit(head_group)},
         "vision_intermediate": _int_group(vision_layers, v_int, vppi),
         "text_intermediate": _int_group(text_layers, intermediate_size, ppi),
         "cross_intermediate": _int_group(cross_layers, intermediate_size, ppi),
@@ -225,6 +250,7 @@ def VQAL0Module(
     vision_hidden_size: int | None = None,
     vision_intermediate_size: int | None = None,
     vision_num_heads: int | None = None,
+    head_group: int = 1,
     **kw,
 ) -> L0Module:
     """VQA variant: + decoder gate groups; decoder layer count = cross count
@@ -237,10 +263,12 @@ def VQAL0Module(
         vision_num_heads or num_heads,
     )
     groups = {
-        "vision_head": _head_group(vision_layers, vision_num_heads or num_heads, vpph),
-        "text_head": _head_group(text_layers, num_heads, pph),
-        "cross_head": {**_head_group(cross_layers * 2, num_heads, pph), "emit": _interleave_to_pairs},
-        "decoder_head": {**_head_group(decoder_layers * 2, num_heads, pph), "emit": _interleave_to_pairs},
+        "vision_head": _head_group(vision_layers, vision_num_heads or num_heads, vpph, head_group),
+        "text_head": _head_group(text_layers, num_heads, pph, head_group),
+        "cross_head": {**_head_group(cross_layers * 2, num_heads, pph, head_group),
+                       "emit": _cross_emit(head_group)},
+        "decoder_head": {**_head_group(decoder_layers * 2, num_heads, pph, head_group),
+                         "emit": _cross_emit(head_group)},
         "vision_intermediate": _int_group(vision_layers, vision_intermediate_size or intermediate_size, vppi),
         "text_intermediate": _int_group(text_layers, intermediate_size, ppi),
         "cross_intermediate": _int_group(cross_layers, intermediate_size, ppi),
@@ -294,7 +322,7 @@ def NLVRL0Module(
     **kw,
 ) -> L0Module:
     """NLVR variant: cross layer count doubled for the two-image replicated
-    stack (nlvr_l0_module.py:50-51)."""
+    stack (nlvr_l0_module.py:50-51). head_group passes through **kw."""
     return XVLML0Module(
         vision_layers=vision_layers,
         text_layers=text_layers,

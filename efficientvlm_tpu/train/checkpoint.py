@@ -670,8 +670,12 @@ class Checkpointer:
     model_state_epoch_{N} + rolling training_state_latest."""
 
     def __init__(self, serialization_dir: str):
+        from ..utils.io import hmkdir
+
         self.serialization_dir = serialization_dir
-        os.makedirs(serialization_dir, exist_ok=True)
+        # hdfs://- and gs://-capable (ref checkpointer is HDFS-first,
+        # utils/checkpointer.py:26-49); local dirs are created as before
+        hmkdir(serialization_dir)
 
     def save_checkpoint(self, step: int | str, train_state, *, training_states=None, step_mode: bool = True):
         tag = "step" if step_mode else "epoch"
@@ -683,7 +687,9 @@ class Checkpointer:
         return path
 
     def load_latest(self):
+        from ..utils.io import hexists
+
         latest = os.path.join(self.serialization_dir, "training_state_latest.ckpt")
-        if not os.path.exists(latest):
+        if not hexists(latest):
             return None
         return load_pytree(latest)

@@ -67,6 +67,8 @@ def hlist_files(folders: List[str]) -> List[str]:
 def hexists(path: str) -> bool:
     if _is_hdfs(path):
         return subprocess.run([HDFS_BIN, "dfs", "-test", "-e", path]).returncode == 0
+    if _is_gcs(path):
+        return subprocess.run(["gsutil", "-q", "stat", path]).returncode == 0
     return os.path.exists(path)
 
 
@@ -74,6 +76,8 @@ def hmkdir(path: str) -> bool:
     if _is_hdfs(path):
         subprocess.run([HDFS_BIN, "dfs", "-mkdir", "-p", path])
         return True
+    if _is_gcs(path):
+        return True  # object store: no directories to create
     os.makedirs(path, exist_ok=True)
     return True
 

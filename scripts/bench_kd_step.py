@@ -32,6 +32,10 @@ def _models(batch, image_res, *, need_student=True, need_teacher_params=True):
     import jax
     import jax.numpy as jnp
 
+    from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
     from efficientvlm_tpu.models.model_retrieval import XVLMForRetrieval
     from efficientvlm_tpu.pruning.l0_module import XVLML0Module
@@ -178,9 +182,12 @@ def main(batch=16, image_res=224):
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     total = {}
     for phase in ("teacher_fwd", "student_update"):
+        # cold remote compiles have been observed anywhere from ~3 to >14
+        # minutes depending on tunnel/helper load — budget generously; warm
+        # runs hit the persistent compile cache and finish in ~1 min
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", phase, str(batch)],
-            capture_output=True, text=True, timeout=840, env=env, cwd=here,
+            capture_output=True, text=True, timeout=2000, env=env, cwd=here,
         )
         got = None
         for line in reversed(out.stdout.strip().splitlines()):

@@ -94,3 +94,48 @@ def test_native_checkpointer(small_model, tmp_path):
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ckpt.load_latest()["step"] == 5
+
+
+def test_checkpointer_hdfs_path(small_model, tmp_path, monkeypatch):
+    """Checkpointer must work for hdfs:// dirs: no local os.makedirs crash,
+    writes stream through the hdfs CLI shims (ref utils/checkpointer.py:26-49
+    is HDFS-first). The hdfs binary is faked with a local-backed script."""
+    import os
+    import stat
+
+    from efficientvlm_tpu.utils import io as uio
+
+    backing = tmp_path / "hdfs_store"
+    backing.mkdir()
+    fake = tmp_path / "hdfs"
+    fake.write_text(f"""#!/usr/bin/env python3
+import os, shutil, sys
+root = {str(backing)!r}
+def local(p):
+    return os.path.join(root, p.replace("hdfs://", "").lstrip("/"))
+cmd = sys.argv[2]
+if cmd == "-mkdir":
+    os.makedirs(local(sys.argv[-1]), exist_ok=True)
+elif cmd == "-test":
+    sys.exit(0 if os.path.exists(local(sys.argv[-1])) else 1)
+elif cmd == "-put":
+    dst = local(sys.argv[-1])
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    with open(dst, "wb") as f:
+        shutil.copyfileobj(sys.stdin.buffer, f)
+elif cmd == "-text":
+    with open(local(sys.argv[-1]), "rb") as f:
+        shutil.copyfileobj(f, sys.stdout.buffer)
+""")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setattr(uio, "HDFS_BIN", str(fake))
+
+    _, params = small_model
+    ckpt = C.Checkpointer("hdfs://ns/ckpts/run1")
+    assert (backing / "ns/ckpts/run1").is_dir()
+    ckpt.save_checkpoint(3, {"model": params}, training_states={"step": 3})
+    assert ckpt.load_latest()["step"] == 3
+    restored = C.load_pytree("hdfs://ns/ckpts/run1/model_state_step_3.ckpt")
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored["model"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
