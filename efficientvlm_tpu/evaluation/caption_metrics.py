@@ -142,18 +142,19 @@ def rouge_l(gts: Dict, res: Dict, beta: float = 1.2) -> float:
     total = 0.0
     for key in res:
         hyp = ptb_tokenize(res[key][0])
-        best = 0.0
+        # official pycocoevalcap semantics (refTools rouge.py calc_score):
+        # max PRECISION and max RECALL are taken SEPARATELY across the
+        # references (possibly from different refs) before the F-beta
+        # combine — not the max of per-ref F scores
+        precs, recs = [], []
         for r in gts[key]:
             ref = ptb_tokenize(r)
             l = lcs(ref, hyp)
-            prec = l / max(len(hyp), 1)
-            rec = l / max(len(ref), 1)
-            if prec and rec:
-                score = (1 + beta**2) * prec * rec / (rec + beta**2 * prec)
-            else:
-                score = 0.0
-            best = max(best, score)
-        total += best
+            precs.append(l / max(len(hyp), 1))
+            recs.append(l / max(len(ref), 1))
+        prec, rec = max(precs), max(recs)
+        if prec and rec:
+            total += (1 + beta**2) * prec * rec / (rec + beta**2 * prec)
     return total / max(len(res), 1)
 
 

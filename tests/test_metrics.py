@@ -98,3 +98,29 @@ def test_meteor_stem_matching():
     gts = {1: ["children playing with toys"]}
     stemmed = meteor(gts, {1: ["child plays with toy"]})
     assert stemmed > 0.3
+
+
+def test_caption_metrics_match_pycocoevalcap_goldens():
+    """Golden-fixture parity (VERDICT r2 #6): fixtures_caption_golden.json
+    pins BLEU-1..4 / ROUGE-L / CIDEr values computed by RUNNING the
+    reference's vendored pycocoevalcap scorers (refTools/evaluation) on 20
+    caption pairs. Our scorers must reproduce them to float tolerance."""
+    import json
+    import os
+
+    from efficientvlm_tpu.evaluation.caption_metrics import CiderD, bleu, rouge_l
+
+    fix = json.load(open(os.path.join(os.path.dirname(__file__),
+                                      "fixtures_caption_golden.json")))
+    gts = {c["id"]: c["refs"] for c in fix["captions"]}
+    res = {c["id"]: [c["hyp"]] for c in fix["captions"]}
+    g = fix["golden"]
+
+    b = bleu(gts, res)
+    assert abs(b[0] - g["Bleu_1"]) < 1e-6, (b[0], g["Bleu_1"])
+    assert abs(b[1] - g["Bleu_2"]) < 1e-6
+    assert abs(b[2] - g["Bleu_3"]) < 1e-6
+    assert abs(b[3] - g["Bleu_4"]) < 1e-6
+    assert abs(rouge_l(gts, res) - g["ROUGE_L"]) < 1e-6
+    cider, _ = CiderD().compute_score(gts, res)
+    assert abs(cider - g["CIDEr"]) < 1e-6, (cider, g["CIDEr"])
