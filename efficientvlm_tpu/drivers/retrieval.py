@@ -48,6 +48,8 @@ def build_l0(config: Config) -> XVLML0Module:
         droprate_init=float(l0_cfg.get("droprate_init", 0.5)),
         temperature=float(l0_cfg.get("temperature", 2.0 / 3.0)),
         target_sparsity=float(config.get("sparsity", 0.0)),
+        # head pairs (128 lanes at head_dim 64): export never re-pads
+        head_group=int(config.get("head_gate_group", 1)),
     )
 
 

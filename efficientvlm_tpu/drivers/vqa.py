@@ -48,6 +48,8 @@ def build_l0(config: Config) -> VQAL0Module:
         vision_intermediate_size=vcfg["intermediate_size"],
         vision_num_heads=vcfg["num_attention_heads"],
         target_sparsity=float(config.get("sparsity", 0.0)),
+        # head pairs (128 lanes at head_dim 64): export never re-pads
+        head_group=int(config.get("head_gate_group", 1)),
     )
 
 

@@ -141,3 +141,39 @@ def test_optimizer_step_runs():
     updates, state = opt.update(grads, state, params)
     new = jax.tree.map(lambda p, u: p + u, params, updates)
     assert float(jnp.abs(new["w"]["kernel"] - params["w"]["kernel"]).max()) > 0
+
+
+def test_head_group_gates_are_pair_aligned():
+    """head_group=2: one learned gate drives a 128-lane head pair, so
+    deterministic masks always keep an even head count and export
+    (prune_xvlm_params) never re-pads for MXU alignment."""
+    import numpy as np
+
+    from efficientvlm_tpu.pruning.l0_module import XVLML0Module
+
+    l0 = XVLML0Module(
+        vision_layers=2, text_layers=1, cross_layers=1,
+        hidden_size=64, intermediate_size=128, num_heads=4,
+        target_sparsity=0.25, head_group=2,
+    )
+    params = l0.init(jax.random.PRNGKey(0))
+    assert params["loga"]["vision_head"].shape == (2, 2)  # 4 heads / group 2
+    assert params["loga"]["cross_head"].shape == (2, 2)   # 2*Lc rows
+
+    zs = l0.forward_train(params, jax.random.PRNGKey(1))
+    assert zs["vision_head_z"].shape == (2, 4)
+    # adjacent heads share one gate value
+    v = np.asarray(zs["vision_head_z"])
+    np.testing.assert_array_equal(v[:, 0], v[:, 1])
+    np.testing.assert_array_equal(v[:, 2], v[:, 3])
+    assert zs["cross_head_z"].shape == (1, 2, 4)
+
+    det = l0.forward_deterministic(params)
+    counts = (np.asarray(det["vision_head_z"]) > 0).sum(-1)
+    assert all(c % 2 == 0 for c in counts), counts
+
+    size = l0.calculate_model_size(det)
+    assert 0 <= size["pruned_model_sparsity"] <= 1
+    # accounting must be in PER-HEAD units even though gates are paired
+    total_heads = sum(size["vision_head_nums"])
+    assert total_heads == int((np.asarray(det["vision_head_z"]) > 0).sum())
