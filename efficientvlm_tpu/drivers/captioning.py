@@ -154,6 +154,7 @@ def main(args: Config, config: Config) -> dict:
             params, batch["image"], batch["caption_ids"], batch["caption_atts"],
             pad_token_id=tokenizer.pad_token_id, prompt_length=prompt_len,
             rng=rng, output_attentions=True, output_hidden_states=True, train=False,
+            impl=config.get("attn_impl", "fused"),  # eval-mode: fused+probs
         )
 
     step_fn, mesh, _ = common.data_parallel_step(common.wrap_step_with_preprocess(

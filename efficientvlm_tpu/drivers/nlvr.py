@@ -141,8 +141,10 @@ def main(args: Config, config: Config) -> dict:
         return teacher.forward(
             params, images, batch["text_ids"], batch["text_atts"], batch["targets"],
             # teacher runs in eval mode (no dropout) so KD targets are
-            # deterministic — reference teacher is .eval() (Eff_NLVR.py)
+            # deterministic — reference teacher is .eval() (Eff_NLVR.py);
+            # eval-mode forwards take the fused probs-emitting kernel path
             rng=rng, train=False, output_attentions=True, output_hidden_states=True,
+            impl=config.get("attn_impl", "fused"),
         )
 
     step_fn, mesh, _ = common.data_parallel_step(common.wrap_step_with_preprocess(

@@ -164,6 +164,7 @@ def main(args: Config, config: Config) -> dict:
             params, batch["image"], batch["q_ids"], batch["q_atts"],
             batch["a_ids"], batch["a_atts"], batch["weights"], batch["k_index"],
             rng=rng, output_attentions=True, output_hidden_states=True, train=False,
+            impl=config.get("attn_impl", "fused"),  # eval-mode: fused+probs
         )
 
     kd_fn = lambda s, t: vqa_kd_losses(  # noqa: E731

@@ -164,20 +164,21 @@ def bert_layer_apply(
     self_cache = cache.get("self") if cache is not None else None
     if lp.get("attention") is not None:  # fully-pruned self-attn -> identity
         use_fused = (
-            impl == "fused" and not output_probs and cache is None
-            and not (train and (adrop > 0.0 or hdrop > 0.0))
+            impl == "fused" and cache is None
+            and not train  # no VJP: fused only on non-differentiated paths
             and (bias is None or (bias.ndim == 4 and bias.shape[2] == 1))
             and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
         )
         if use_fused:
             from ..ops.pallas_fused_mha import fused_self_attention
 
-            attn_out = fused_self_attention(
+            res = fused_self_attention(
                 lp["attention"], h.astype(dtype) if dtype is not None else h,
                 num_heads=_num_heads(lp["attention"], head_dim),
                 key_bias=bias[:, 0, 0, :] if bias is not None else None,
-                head_z=self_head_z,
+                head_z=self_head_z, return_probs=output_probs,
             )
+            attn_out, self_probs = res if output_probs else (res, None)
         else:
             attn_out, self_probs, self_cache = multi_head_attention(
                 lp["attention"],
@@ -199,8 +200,8 @@ def bert_layer_apply(
     cross_probs = None
     if lp.get("crossattention") is not None and encoder_hidden is not None:
         use_fused_x = (
-            impl == "fused" and not output_probs and cache is None
-            and not (train and (adrop > 0.0 or hdrop > 0.0))
+            impl == "fused" and cache is None
+            and not train  # no VJP: fused only on non-differentiated paths
             and (encoder_bias is None
                  or (encoder_bias.ndim == 4 and encoder_bias.shape[2] == 1))
             and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
@@ -208,13 +209,14 @@ def bert_layer_apply(
         if use_fused_x:
             from ..ops.pallas_fused_mha import fused_cross_attention
 
-            x_out = fused_cross_attention(
+            res = fused_cross_attention(
                 lp["crossattention"], h.astype(dtype) if dtype is not None else h,
                 encoder_hidden,
                 num_heads=_num_heads(lp["crossattention"], head_dim),
                 key_bias=encoder_bias[:, 0, 0, :] if encoder_bias is not None else None,
-                head_z=cross_head_z,
+                head_z=cross_head_z, return_probs=output_probs,
             )
+            x_out, cross_probs = res if output_probs else (res, None)
         else:
             x_out, cross_probs, _ = multi_head_attention(
                 lp["crossattention"],

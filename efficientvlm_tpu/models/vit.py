@@ -99,18 +99,23 @@ def vit_layer(
         residual = h
         x = layer_norm(lp["ln1"], h, eps=1e-5)
         use_fused = (
-            impl == "fused" and not output_probs and bias is None
-            and not (train and dropout_rate > 0.0)
+            impl == "fused" and bias is None
+            # never in train mode: the kernel has no VJP, and training
+            # forwards are differentiated (teacher/eval forwards fuse)
+            and not train
             and x.shape[-1] >= 128  # sub-lane widths (tiny test configs)
             # intermittently fail Mosaic compile and gain nothing from fusion
         )
         if use_fused:
             from ..ops.pallas_fused_mha import fused_self_attention
 
-            attn_out = fused_self_attention(
+            # output_probs no longer forces the XLA fallback: the kernel
+            # emits the softmax maps the KD taps need (VERDICT r2 #5)
+            res = fused_self_attention(
                 lp["attn"], x.astype(dtype) if dtype is not None else x,
-                num_heads=num_heads, head_z=head_z,
+                num_heads=num_heads, head_z=head_z, return_probs=output_probs,
             )
+            attn_out, probs = res if output_probs else (res, None)
             if head_layer_z is not None:
                 attn_out = attn_out * jnp.asarray(head_layer_z, attn_out.dtype)
         else:

@@ -42,7 +42,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fused_kernel(num_heads: int, head_dim: int, scale: float, t_rows: int):
+def _fused_kernel(num_heads: int, head_dim: int, scale: float, t_rows: int,
+                  emit_probs: bool = False):
     # Mosaic requires dynamic-slice starts that are provably multiples of
     # the 128 lane width; head_dim=64 slices are not, so the loop walks
     # lane-aligned GROUPS of heads and splits them with static slices.
@@ -57,7 +58,10 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float, t_rows: int):
     num_groups = num_heads // heads_per_group
 
     def kernel(h_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref, bv_ref,
-               bias_ref, gate_ref, o_ref, acc_ref):
+               bias_ref, gate_ref, o_ref, *rest):
+        # rest = (probs_ref, acc_ref) when emit_probs else (acc_ref,)
+        probs_ref = rest[0] if emit_probs else None
+        acc_ref = rest[-1]
         hidden = h_ref[0]  # [T, D] (lane-padded length)
         # query rows (sublane-padded length); keep a literal no-op when not
         # trimming — Mosaic rejects even a full-range slice as a matmul lhs
@@ -97,7 +101,12 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float, t_rows: int):
                 ) * scale + key_bias[None, :]
                 m = jnp.max(scores, axis=-1, keepdims=True)
                 e = jnp.exp(scores - m)
-                probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(hidden.dtype)
+                probs_f32 = e / jnp.sum(e, axis=-1, keepdims=True)
+                if emit_probs:
+                    # KD taps (GeneralDistill.py:60-82) read the pre-gate
+                    # softmax maps; head index is a static unroll constant
+                    probs_ref[0, gi * heads_per_group + s] = probs_f32
+                probs = probs_f32.astype(hidden.dtype)
                 ctx = jax.lax.dot_general(
                     probs, v.astype(hidden.dtype), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -120,15 +129,24 @@ def _fused_kernel(num_heads: int, head_dim: int, scale: float, t_rows: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim", "t_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim", "t_rows",
+                                             "interpret", "emit_probs"))
 def _fused_mha_padded(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
-                      num_heads: int, head_dim: int, t_rows: int, interpret: bool):
+                      num_heads: int, head_dim: int, t_rows: int, interpret: bool,
+                      emit_probs: bool = False):
     b, t, d = hidden.shape
     a = wq.shape[1]  # attention width — num_heads*head_dim, < d after pruning
     assert a == num_heads * head_dim, (a, num_heads, head_dim)
     scale = head_dim ** -0.5
     grid = (b,)
-    kernel = _fused_kernel(num_heads, head_dim, scale, t_rows)
+    kernel = _fused_kernel(num_heads, head_dim, scale, t_rows, emit_probs)
+    out_specs = pl.BlockSpec((1, t_rows, d), lambda bi: (bi, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b, t_rows, d), hidden.dtype)
+    if emit_probs:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, num_heads, t_rows, t), lambda bi: (bi, 0, 0, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, num_heads, t_rows, t), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -144,25 +162,27 @@ def _fused_mha_padded(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
             pl.BlockSpec((1, 1, t), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, num_heads), lambda bi: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_rows, d), lambda bi: (bi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_rows, d), hidden.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((t_rows, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             # unrolled per-head temporaries can exceed the 16MB default
             # scoped limit at small pruned widths; v5e has headroom
-            vmem_limit_bytes=32 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024 if emit_probs else 32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * d * a * 4 + 4 * b * num_heads * t * t * head_dim,
-            bytes_accessed=(hidden.size * 2 + 4 * d * a) * hidden.dtype.itemsize,
+            bytes_accessed=(hidden.size * 2 + 4 * d * a) * hidden.dtype.itemsize
+            + (4 * b * num_heads * t_rows * t if emit_probs else 0),
             transcendentals=b * num_heads * t * t,
         ),
         interpret=interpret,
     )(hidden, wq, wk, wv, wo, bq, bk, bv, key_bias, gates)
 
 
-def _fused_cross_kernel(num_heads: int, head_dim: int, scale: float):
+def _fused_cross_kernel(num_heads: int, head_dim: int, scale: float,
+                        emit_probs: bool = False):
     """Cross-attention variant: queries from the text hidden states, keys/
     values from the encoder (image) sequence — the ITM-rescore / fusion
     hot path (Eff_Retrieval.py:285-319 reranks k_test pairs through it)."""
@@ -173,7 +193,9 @@ def _fused_cross_kernel(num_heads: int, head_dim: int, scale: float):
     num_groups = num_heads // heads_per_group
 
     def kernel(h_ref, e_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
-               bv_ref, bias_ref, gate_ref, o_ref, acc_ref):
+               bv_ref, bias_ref, gate_ref, o_ref, *rest):
+        probs_ref = rest[0] if emit_probs else None
+        acc_ref = rest[-1]
         hidden = h_ref[0]  # [T, D]
         enc = e_ref[0]     # [S, De]
         key_bias = bias_ref[0, 0].astype(jnp.float32)  # [S]
@@ -204,7 +226,10 @@ def _fused_cross_kernel(num_heads: int, head_dim: int, scale: float):
                 ) * scale + key_bias[None, :]
                 m = jnp.max(scores, axis=-1, keepdims=True)
                 e = jnp.exp(scores - m)
-                probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(hidden.dtype)
+                probs_f32 = e / jnp.sum(e, axis=-1, keepdims=True)
+                if emit_probs:
+                    probs_ref[0, gi * heads_per_group + s] = probs_f32
+                probs = probs_f32.astype(hidden.dtype)
                 ctx = jax.lax.dot_general(
                     probs, v.astype(hidden.dtype), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -226,16 +251,25 @@ def _fused_cross_kernel(num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim", "interpret",
+                                             "emit_probs"))
 def _fused_cross_padded(hidden, enc, wq, wk, wv, wo, bq, bk, bv, key_bias, gates, *,
-                        num_heads: int, head_dim: int, interpret: bool):
+                        num_heads: int, head_dim: int, interpret: bool,
+                        emit_probs: bool = False):
     b, t, d = hidden.shape
     s = enc.shape[1]
     de = enc.shape[2]
     a = wq.shape[1]
     assert a == num_heads * head_dim, (a, num_heads, head_dim)
     scale = head_dim ** -0.5
-    kernel = _fused_cross_kernel(num_heads, head_dim, scale)
+    kernel = _fused_cross_kernel(num_heads, head_dim, scale, emit_probs)
+    out_specs = pl.BlockSpec((1, t, d), lambda bi: (bi, 0, 0))
+    out_shape = jax.ShapeDtypeStruct(hidden.shape, hidden.dtype)
+    if emit_probs:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, num_heads, t, s), lambda bi: (bi, 0, 0, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, num_heads, t, s), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -252,12 +286,12 @@ def _fused_cross_padded(hidden, enc, wq, wk, wv, wo, bq, bk, bv, key_bias, gates
             pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, num_heads), lambda bi: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, d), lambda bi: (bi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(hidden.shape, hidden.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=32 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024 if emit_probs else 32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * d * a + 4 * b * s * de * a + 4 * b * num_heads * t * s * head_dim,
@@ -277,7 +311,8 @@ def fused_cross_attention(
     mask: Optional[Array] = None,
     key_bias: Optional[Array] = None,
     head_z: Optional[Array] = None,
-) -> Array:
+    return_probs: bool = False,
+):
     """Fused cross-attention over params {'q','k','v','out'} — queries from
     hidden [B,T,D], keys/values from encoder_hidden [B,S,De]; mask [B,S]
     (1=attend) or key_bias [B,S] additive; head_z [num_heads] or None.
@@ -310,16 +345,21 @@ def fused_cross_attention(
     interpret = jax.devices()[0].platform != "tpu"
     dt = x.dtype
     e = e.astype(dt)
-    out = _fused_cross_padded(
+    res = _fused_cross_padded(
         x, e,
         params["q"]["kernel"].astype(dt), params["k"]["kernel"].astype(dt),
         params["v"]["kernel"].astype(dt), params["out"]["kernel"].astype(dt),
         params["q"]["bias"].reshape(1, -1), params["k"]["bias"].reshape(1, -1),
         params["v"]["bias"].reshape(1, -1),
         kb, gates, num_heads=num_heads, head_dim=head_dim, interpret=interpret,
+        emit_probs=return_probs,
     )
+    out, probs = res if return_probs else (res, None)
     out = out[:, :t] if t_p != t else out
-    return out + params["out"]["bias"].astype(out.dtype)
+    out = out + params["out"]["bias"].astype(out.dtype)
+    if return_probs:
+        return out, probs[:, :, :t, :s]
+    return out
 
 
 def fused_self_attention(
@@ -330,7 +370,8 @@ def fused_self_attention(
     mask: Optional[Array] = None,
     key_bias: Optional[Array] = None,
     head_z: Optional[Array] = None,
-) -> Array:
+    return_probs: bool = False,
+):
     """Fused self-attention layer over attention params {'q','k','v','out'}
     (each {'kernel','bias'}); hidden [B,T,D]; mask [B,T] (1=attend) or
     key_bias [B,T] additive; head_z [num_heads] or None. Equivalent to
@@ -368,14 +409,20 @@ def fused_self_attention(
 
     interpret = jax.devices()[0].platform != "tpu"
     dt = x.dtype
-    out = _fused_mha_padded(
+    res = _fused_mha_padded(
         x,
         params["q"]["kernel"].astype(dt), params["k"]["kernel"].astype(dt),
         params["v"]["kernel"].astype(dt), params["out"]["kernel"].astype(dt),
         params["q"]["bias"].reshape(1, -1), params["k"]["bias"].reshape(1, -1),
         params["v"]["bias"].reshape(1, -1),
         kb, gates, num_heads=num_heads, head_dim=head_dim, t_rows=t_rows,
-        interpret=interpret,
+        interpret=interpret, emit_probs=return_probs,
     )
+    out, probs = res if return_probs else (res, None)
     out = out[:, :t] if out.shape[1] != t else out
-    return out + params["out"]["bias"].astype(out.dtype)
+    out = out + params["out"]["bias"].astype(out.dtype)
+    if return_probs:
+        # pre-gate softmax maps, padded rows/cols trimmed — matches the XLA
+        # path's f32 probs [B, H, Tq, Tk] (ops/attention.py:128-131)
+        return out, probs[:, :, :t, :t]
+    return out

@@ -96,7 +96,7 @@ def _teacher_fwd_fn(teacher):
             batch["image"], batch["text_ids"], batch["text_atts"],
             idx=batch.get("idx"), zs=None, rng=rng,
             output_attentions=True, output_hidden_states=True,
-            train=False, dtype=jnp.bfloat16,
+            train=False, dtype=jnp.bfloat16, impl="fused",
         )
         return jax.tree.map(jax.lax.stop_gradient, {
             "hidden_dict": out["hidden_dict"],

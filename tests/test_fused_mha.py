@@ -130,3 +130,67 @@ def test_fused_cross_attention_pruned_width():
     ref, _, _ = multi_head_attention(pruned, x, enc, num_heads=1)
     out = fused_cross_attention(pruned, x, enc, num_heads=1)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=3e-5)
+
+
+def test_fused_self_probs_match_reference():
+    """Probs-emitting variant (the KD hot-loop unlock): out AND softmax maps
+    must match the XLA path (ops/attention.py:128-131)."""
+    from efficientvlm_tpu.ops.pallas_fused_mha import fused_self_attention as fsa
+
+    D, H = 128, 2
+    params = init_attention(jax.random.PRNGKey(0), D, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 11, D)) * 0.05
+    mask = jnp.ones((2, 11), jnp.int32).at[1, 7:].set(0)
+    hz = jnp.asarray([1.0, 0.25])
+
+    ref, ref_probs, _ = multi_head_attention(
+        params, x, num_heads=H, bias=make_attention_bias(mask), head_z=hz,
+        output_probs=True,
+    )
+    out, probs = fsa(params, x, num_heads=H, mask=mask, head_z=hz, return_probs=True)
+    assert probs.shape == ref_probs.shape == (2, H, 11, 11)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=3e-5)
+    # masked-row probs are uniform-garbage in both paths only where the
+    # QUERY row itself is masked; compare rows attending to >=1 key
+    np.testing.assert_allclose(np.asarray(ref_probs), np.asarray(probs), atol=3e-5)
+
+
+def test_fused_cross_probs_match_reference():
+    from efficientvlm_tpu.ops.pallas_fused_mha import fused_cross_attention as fca
+
+    D, De, H = 128, 128, 2
+    params = init_attention(jax.random.PRNGKey(0), D, H, kv_width=De)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, D)) * 0.05
+    enc = jax.random.normal(jax.random.PRNGKey(2), (2, 9, De)) * 0.05
+    mask = jnp.ones((2, 9), jnp.int32).at[0, 5:].set(0)
+
+    ref, ref_probs, _ = multi_head_attention(
+        params, x, enc, num_heads=H, bias=make_attention_bias(mask),
+        output_probs=True,
+    )
+    out, probs = fca(params, x, enc, num_heads=H, mask=mask, return_probs=True)
+    assert probs.shape == ref_probs.shape == (2, H, 7, 9)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ref_probs), np.asarray(probs), atol=3e-5)
+
+
+def test_bert_fused_with_output_attentions():
+    """bert_apply(impl='fused', output_attentions=True) must now stay on the
+    fused path AND return probs equal to the XLA path."""
+    cfg = TextConfig.create(
+        vocab_size=60, hidden_size=128, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=96, encoder_width=128, max_position_embeddings=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    params = B.init_bert(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 9), 0, 60)
+    atts = jnp.ones((2, 9), jnp.int32).at[0, 6:].set(0)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 128))
+    enc_atts = jnp.ones((2, 5), jnp.int32)
+    kw = dict(attention_mask=atts, encoder_hidden=enc, encoder_attention_mask=enc_atts,
+              output_attentions=True)
+    a = B.bert_apply(params, ids, cfg, impl="xla", **kw)
+    b = B.bert_apply(params, ids, cfg, impl="fused", **kw)
+    np.testing.assert_allclose(np.asarray(a["last_hidden"]), np.asarray(b["last_hidden"]), atol=3e-5)
+    for pa, pb in zip(a["attentions"], b["attentions"]):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-5)
