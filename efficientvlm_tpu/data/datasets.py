@@ -32,6 +32,30 @@ def open_image(ann_value: str, *, is_path: bool, image_root: str = "") -> Image.
     return Image.open(io.BytesIO(base64.b64decode(ann_value))).convert("RGB")
 
 
+
+def load_transformed(transform, ann_value: str, *, is_path: bool, image_root: str = ""):
+    """Decode + transform in one step. When the transform's first PIL op is
+    a plain square Resize (test / uint8 device-preprocess modes), JPEGs take
+    the native libjpeg DCT-scaled decode (data/fastjpeg.py, csrc/) —
+    2-4x faster per core and GIL-free; everything else falls back to the
+    PIL path unchanged."""
+    size = getattr(transform, "native_decode_size", None)
+    if size:
+        try:
+            if is_path:
+                with open(os.path.join(image_root, ann_value), "rb") as f:
+                    data = f.read()
+            else:
+                data = base64.b64decode(ann_value)
+            if data[:2] == b"\xff\xd8":  # JPEG magic
+                from .fastjpeg import decode_resize
+
+                return transform.from_decoded(decode_resize(data, size, size))
+        except Exception:
+            pass  # corrupt/odd file: the PIL path raises the real error
+    return transform(open_image(ann_value, is_path=is_path, image_root=image_root))
+
+
 def load_ann(ann_file) -> List[dict]:
     files = ann_file if isinstance(ann_file, (list, tuple)) else [ann_file]
     ann: List[dict] = []
@@ -130,9 +154,9 @@ class RetrievalTrainDataset:
 
     def __getitem__(self, index):
         ann = self.ann[index]
-        image = open_image(ann["image"], is_path=True, image_root=self.image_root)
         return (
-            self.transform(image),
+            load_transformed(self.transform, ann["image"], is_path=True,
+                             image_root=self.image_root),
             pre_caption(ann["caption"], self.max_words),
             self.img_ids[ann["image_id"]],
         )
@@ -161,8 +185,9 @@ class RetrievalEvalDataset:
         return len(self.image)
 
     def __getitem__(self, index):
-        image = open_image(self.ann[index]["image"], is_path=True, image_root=self.image_root)
-        return self.transform(image), index
+        return load_transformed(
+            self.transform, self.ann[index]["image"], is_path=True,
+            image_root=self.image_root), index
 
 
 # ---------------------------------------------------------------------------
@@ -309,11 +334,13 @@ class NLVRDataset:
 
     def __getitem__(self, index):
         ann = self.ann[index]
-        image0 = open_image(ann["images"][0], is_path=True, image_root=self.image_root)
-        image1 = open_image(ann["images"][1], is_path=True, image_root=self.image_root)
+        image0 = load_transformed(self.transform, ann["images"][0], is_path=True,
+                                  image_root=self.image_root)
+        image1 = load_transformed(self.transform, ann["images"][1], is_path=True,
+                                  image_root=self.image_root)
         label = 1 if ann["label"] == "True" or ann["label"] is True else 0
         sentence = pre_caption(ann["sentence"], self.max_words)
-        return self.transform(image0), self.transform(image1), sentence, label
+        return image0, image1, sentence, label
 
 
 # ---------------------------------------------------------------------------
@@ -341,9 +368,10 @@ class CaptioningTrainDataset:
 
     def __getitem__(self, index):
         ann = self.ann[index]
-        image = open_image(ann["image"], is_path=True, image_root=self.image_root)
+        pixels = load_transformed(self.transform, ann["image"], is_path=True,
+                                  image_root=self.image_root)
         caption = self.prompt + pre_caption(ann["caption"], self.max_words)
-        return self.transform(image), caption, self.img_ids[ann["image_id"]]
+        return pixels, caption, self.img_ids[ann["image_id"]]
 
 
 class CaptioningSCSTDataset:
@@ -370,13 +398,14 @@ class CaptioningSCSTDataset:
 
     def __getitem__(self, index):
         ann = self.ann[index]
-        image = open_image(ann["image"], is_path=True, image_root=self.image_root)
+        pixels = load_transformed(self.transform, ann["image"], is_path=True,
+                                  image_root=self.image_root)
         gts = self.captions_by_image[ann["image"]]
         if len(gts) >= self.n_gts:
             pick = self.rng.choice(len(gts), self.n_gts, replace=False)
         else:
             pick = self.rng.choice(len(gts), self.n_gts, replace=True)
-        return self.transform(image), [gts[i] for i in pick]
+        return pixels, [gts[i] for i in pick]
 
 
 def scst_collate(samples):
@@ -395,9 +424,9 @@ class CaptioningEvalDataset:
 
     def __getitem__(self, index):
         ann = self.ann[index]
-        image = open_image(ann["image"], is_path=True, image_root=self.image_root)
         img_id = ann["image"].split("/")[-1].strip(".jpg").split("_")[-1]
-        return self.transform(image), int(img_id)
+        return load_transformed(self.transform, ann["image"], is_path=True,
+                                image_root=self.image_root), int(img_id)
 
 
 # ---------------------------------------------------------------------------

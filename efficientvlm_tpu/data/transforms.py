@@ -125,6 +125,21 @@ class ImageTransform:
         host->device traffic than f32 (BASELINE north star)."""
         return cls(int(image_res * margin), mode="uint8", hflip=False, randaug=False)
 
+    @property
+    def native_decode_size(self) -> Optional[int]:
+        """Square decode target for modes whose first op is a plain
+        (aspect-distorting) Resize((res, res)) — test and uint8
+        device-preprocess. Crop-based train modes return None: they need
+        the full-resolution source for RandomResizedCrop statistics."""
+        return self.image_res if self.mode in ("uint8", "test") else None
+
+    def from_decoded(self, arr: np.ndarray) -> np.ndarray:
+        """Finish the pipeline on an already decoded+resized uint8 HWC
+        array (the native JPEG path, data/fastjpeg.py)."""
+        if self.mode == "uint8":
+            return np.asarray(arr, np.uint8)
+        return normalize(arr)  # test mode: no randaug/flip
+
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = img.convert("RGB")
         if self.mode == "uint8":
