@@ -34,6 +34,28 @@ def main(n=256, image_res=480, batch=16):
     ann_file = os.path.join(tmp, "ann.json")
     json.dump(ann, open(ann_file, "w"))
 
+    # native decode comparison at the device-preprocess operating point
+    # (uint8 transform -> square target): PIL full decode vs csrc/fastjpeg
+    from efficientvlm_tpu.data import fastjpeg
+    from efficientvlm_tpu.data.datasets import load_transformed
+
+    u8 = ImageTransform.uint8(image_res)
+    for name, fn in (
+        ("pil_full", lambda f: u8(Image.open(os.path.join(tmp, f)))),
+        ("native_dct", lambda f: load_transformed(u8, f, is_path=True, image_root=tmp)),
+    ):
+        for f in ("0.jpg",):
+            fn(f)  # warmup (native: first-use build)
+        t0 = time.perf_counter()
+        for i in range(min(n, 128)):
+            fn(f"{i}.jpg")
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "decode_images_per_sec", "kind": name,
+            "image_res": image_res, "native_available": fastjpeg.available(),
+            "value": round(min(n, 128) / dt, 1),
+        }))
+
     ds = RetrievalTrainDataset([ann_file], ImageTransform.train(image_res, seed=0), tmp)
     for kind, workers in (("single", 1), ("threads", 4), ("threads", 8),
                           ("procs", 4), ("procs", 8)):
