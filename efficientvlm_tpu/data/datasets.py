@@ -585,11 +585,13 @@ class PretrainImageTextDataset:
     def __iter__(self):
         for ann in self.stream:
             try:
-                image = open_image(ann[self.image_key], is_path=self.is_image_rpath)
+                # uint8/test transforms take the native JPEG decode
+                # (device_preprocess GD configs); others the PIL path
+                pixels = load_transformed(
+                    self.transform, ann[self.image_key], is_path=self.is_image_rpath)
                 caption = ann[self.caption_key]
                 if isinstance(caption, list):
                     caption = caption[int(self.rng.integers(0, len(caption)))]
-                pixels = self.transform(image)
                 yield (pixels,) + self.preprocess_text(caption)
             except Exception as e:
                 print(f"### encounter broken data: {e}")
