@@ -165,7 +165,9 @@ def bert_layer_apply(
     if lp.get("attention") is not None:  # fully-pruned self-attn -> identity
         use_fused = (
             impl == "fused" and cache is None
-            and not train  # no VJP: fused only on non-differentiated paths
+            # train-mode: only the custom_vjp path, and only dropout-free
+            # (the fused branch skips the post-attention hidden dropout)
+            and (not train or (adrop == 0.0 and hdrop == 0.0))
             and (bias is None or (bias.ndim == 4 and bias.shape[2] == 1))
             and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
         )
@@ -177,6 +179,7 @@ def bert_layer_apply(
                 num_heads=_num_heads(lp["attention"], head_dim),
                 key_bias=bias[:, 0, 0, :] if bias is not None else None,
                 head_z=self_head_z, return_probs=output_probs,
+                differentiable=train,
             )
             attn_out, self_probs = res if output_probs else (res, None)
         else:
@@ -201,7 +204,7 @@ def bert_layer_apply(
     if lp.get("crossattention") is not None and encoder_hidden is not None:
         use_fused_x = (
             impl == "fused" and cache is None
-            and not train  # no VJP: fused only on non-differentiated paths
+            and (not train or (adrop == 0.0 and hdrop == 0.0))
             and (encoder_bias is None
                  or (encoder_bias.ndim == 4 and encoder_bias.shape[2] == 1))
             and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
@@ -215,6 +218,7 @@ def bert_layer_apply(
                 num_heads=_num_heads(lp["crossattention"], head_dim),
                 key_bias=encoder_bias[:, 0, 0, :] if encoder_bias is not None else None,
                 head_z=cross_head_z, return_probs=output_probs,
+                differentiable=train,
             )
             x_out, cross_probs = res if output_probs else (res, None)
         else:

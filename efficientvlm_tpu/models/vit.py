@@ -100,9 +100,10 @@ def vit_layer(
         x = layer_norm(lp["ln1"], h, eps=1e-5)
         use_fused = (
             impl == "fused" and bias is None
-            # never in train mode: the kernel has no VJP, and training
-            # forwards are differentiated (teacher/eval forwards fuse)
-            and not train
+            # train-mode forwards are differentiated: fuse them only via the
+            # custom_vjp (XLA-recompute backward) path, and only when the
+            # kernel computes the complete attention (no dropout)
+            and (not train or dropout_rate == 0.0)
             and x.shape[-1] >= 128  # sub-lane widths (tiny test configs)
             # intermittently fail Mosaic compile and gain nothing from fusion
         )
@@ -114,6 +115,7 @@ def vit_layer(
             res = fused_self_attention(
                 lp["attn"], x.astype(dtype) if dtype is not None else x,
                 num_heads=num_heads, head_z=head_z, return_probs=output_probs,
+                differentiable=train,
             )
             attn_out, probs = res if output_probs else (res, None)
             if head_layer_z is not None:

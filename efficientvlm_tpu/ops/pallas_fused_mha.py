@@ -302,22 +302,9 @@ def _fused_cross_padded(hidden, enc, wq, wk, wv, wo, bq, bk, bv, key_bias, gates
     )(hidden, enc, wq, wk, wv, wo, bq, bk, bv, key_bias, gates)
 
 
-def fused_cross_attention(
-    params: dict,
-    hidden: Array,
-    encoder_hidden: Array,
-    *,
-    num_heads: int,
-    mask: Optional[Array] = None,
-    key_bias: Optional[Array] = None,
-    head_z: Optional[Array] = None,
-    return_probs: bool = False,
-):
-    """Fused cross-attention over params {'q','k','v','out'} — queries from
-    hidden [B,T,D], keys/values from encoder_hidden [B,S,De]; mask [B,S]
-    (1=attend) or key_bias [B,S] additive; head_z [num_heads] or None.
-    Equivalent to multi_head_attention(params, hidden, encoder_hidden, ...)
-    [0] without dropout. Supports pruned rectangular projection widths."""
+def _cross_call(params, hidden, encoder_hidden, kb2, gates1,
+                num_heads: int, return_probs: bool):
+    """Pad + kernel + trim for cross-attention. kb2: UNPADDED [B, S] f32."""
     b, t, d = hidden.shape
     s = encoder_hidden.shape[1]
     head_dim = params["q"]["kernel"].shape[1] // num_heads
@@ -330,17 +317,8 @@ def fused_cross_attention(
     x = jnp.pad(hidden, ((0, 0), (0, t_p - t), (0, 0))) if t_p != t else hidden
     e = (jnp.pad(encoder_hidden, ((0, 0), (0, s_p - s), (0, 0)))
          if s_p != s else encoder_hidden)
-
-    if key_bias is not None:
-        kb = jnp.broadcast_to(key_bias.astype(jnp.float32), (b, s))
-    elif mask is None:
-        kb = jnp.zeros((b, s), jnp.float32)
-    else:
-        kb = (1.0 - mask.astype(jnp.float32)) * NEG
-    kb = jnp.pad(kb, ((0, 0), (0, s_p - s)), constant_values=NEG)[:, None, :]
-
-    gates = (jnp.ones((num_heads,), jnp.float32) if head_z is None
-             else head_z.astype(jnp.float32)).reshape(1, num_heads)
+    kb = jnp.pad(kb2, ((0, 0), (0, s_p - s)), constant_values=NEG)[:, None, :]
+    gates = gates1.reshape(1, num_heads)
 
     interpret = jax.devices()[0].platform != "tpu"
     dt = x.dtype
@@ -362,27 +340,71 @@ def fused_cross_attention(
     return out
 
 
-def fused_self_attention(
+@functools.lru_cache(maxsize=None)
+def _dv_cross(num_heads: int, return_probs: bool):
+    """Differentiable fused cross-attention (see _dv_self)."""
+    from .attention import multi_head_attention
+
+    def ref(params, hidden, enc, kb2, gates1):
+        bias = kb2[:, None, None, :]
+        out, probs, _ = multi_head_attention(
+            params, hidden, enc, num_heads=num_heads, bias=bias, head_z=gates1,
+            output_probs=True, dtype=hidden.dtype,
+        )
+        return (out, probs) if return_probs else out
+
+    def impl(params, hidden, enc, kb2, gates1):
+        return _cross_call(params, hidden, enc, kb2, gates1, num_heads, return_probs)
+
+    f = jax.custom_vjp(impl)
+
+    def fwd(params, hidden, enc, kb2, gates1):
+        return impl(params, hidden, enc, kb2, gates1), (params, hidden, enc, kb2, gates1)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(ct)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_cross_attention(
     params: dict,
     hidden: Array,
+    encoder_hidden: Array,
     *,
     num_heads: int,
     mask: Optional[Array] = None,
     key_bias: Optional[Array] = None,
     head_z: Optional[Array] = None,
     return_probs: bool = False,
+    differentiable: bool = False,
 ):
-    """Fused self-attention layer over attention params {'q','k','v','out'}
-    (each {'kernel','bias'}); hidden [B,T,D]; mask [B,T] (1=attend) or
-    key_bias [B,T] additive; head_z [num_heads] or None. Equivalent to
-    multi_head_attention(...)[0] for self-attention without dropout.
+    """Fused cross-attention over params {'q','k','v','out'} — queries from
+    hidden [B,T,D], keys/values from encoder_hidden [B,S,De]; mask [B,S]
+    (1=attend) or key_bias [B,S] additive; head_z [num_heads] or None.
+    Equivalent to multi_head_attention(params, hidden, encoder_hidden, ...)
+    [0] without dropout. Supports pruned rectangular projection widths.
+    differentiable=True: custom_vjp with XLA-recompute backward."""
+    b = hidden.shape[0]
+    s = encoder_hidden.shape[1]
+    if key_bias is not None:
+        kb2 = jnp.broadcast_to(key_bias.astype(jnp.float32), (b, s))
+    elif mask is None:
+        kb2 = jnp.zeros((b, s), jnp.float32)
+    else:
+        kb2 = (1.0 - mask.astype(jnp.float32)) * NEG
+    gates1 = (jnp.ones((num_heads,), jnp.float32) if head_z is None
+              else head_z.astype(jnp.float32).reshape(num_heads))
+    if differentiable:
+        return _dv_cross(num_heads, return_probs)(params, hidden, encoder_hidden, kb2, gates1)
+    return _cross_call(params, hidden, encoder_hidden, kb2, gates1, num_heads, return_probs)
 
-    Supports RECTANGULAR projections (q kernel [D, A], A = num_heads *
-    head_dim < D) — the physically-pruned export's layer shapes.
 
-    Padding is asymmetric: keys/values (and the score columns) need the
-    128-lane pad; query ROWS only need the sublane tile, so short
-    sequences don't pay a 128-row quadratic pad."""
+def _self_call(params, hidden, kb2, gates1, num_heads: int, return_probs: bool):
+    """Pad + kernel + trim for self-attention. kb2: UNPADDED [B, T] f32
+    additive key bias; gates1: [H] f32."""
     b, t, d = hidden.shape
     head_dim = params["q"]["kernel"].shape[1] // num_heads
     t_p = _round_up(max(t, 8), LANE)
@@ -395,17 +417,8 @@ def fused_self_attention(
         t_rows = t_p
     pad_t = t_p - t
     x = jnp.pad(hidden, ((0, 0), (0, pad_t), (0, 0))) if pad_t else hidden
-
-    if key_bias is not None:
-        kb = jnp.broadcast_to(key_bias.astype(jnp.float32), (b, t))
-    elif mask is None:
-        kb = jnp.zeros((b, t), jnp.float32)
-    else:
-        kb = (1.0 - mask.astype(jnp.float32)) * NEG
-    kb = jnp.pad(kb, ((0, 0), (0, pad_t)), constant_values=NEG)[:, None, :]
-
-    gates = (jnp.ones((num_heads,), jnp.float32) if head_z is None
-             else head_z.astype(jnp.float32)).reshape(1, num_heads)
+    kb = jnp.pad(kb2, ((0, 0), (0, pad_t)), constant_values=NEG)[:, None, :]
+    gates = gates1.reshape(1, num_heads)
 
     interpret = jax.devices()[0].platform != "tpu"
     dt = x.dtype
@@ -426,3 +439,75 @@ def fused_self_attention(
         # path's f32 probs [B, H, Tq, Tk] (ops/attention.py:128-131)
         return out, probs[:, :, :t, :t]
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _dv_self(num_heads: int, return_probs: bool):
+    """Differentiable fused self-attention: forward runs the Pallas kernel,
+    backward recomputes via the XLA reference (ops/attention.py) and takes
+    its VJP — the flash-attention-style remat trade that lets TRAINING
+    forwards (student KD, dropout-free configs) fuse too. Cotangents flow
+    through both outputs (the KD attention loss differentiates probs)."""
+    from .attention import multi_head_attention
+
+    def ref(params, hidden, kb2, gates1):
+        bias = kb2[:, None, None, :]
+        out, probs, _ = multi_head_attention(
+            params, hidden, num_heads=num_heads, bias=bias, head_z=gates1,
+            output_probs=True, dtype=hidden.dtype,
+        )
+        return (out, probs) if return_probs else out
+
+    def impl(params, hidden, kb2, gates1):
+        return _self_call(params, hidden, kb2, gates1, num_heads, return_probs)
+
+    f = jax.custom_vjp(impl)
+
+    def fwd(params, hidden, kb2, gates1):
+        return impl(params, hidden, kb2, gates1), (params, hidden, kb2, gates1)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(ct)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_self_attention(
+    params: dict,
+    hidden: Array,
+    *,
+    num_heads: int,
+    mask: Optional[Array] = None,
+    key_bias: Optional[Array] = None,
+    head_z: Optional[Array] = None,
+    return_probs: bool = False,
+    differentiable: bool = False,
+):
+    """Fused self-attention layer over attention params {'q','k','v','out'}
+    (each {'kernel','bias'}); hidden [B,T,D]; mask [B,T] (1=attend) or
+    key_bias [B,T] additive; head_z [num_heads] or None. Equivalent to
+    multi_head_attention(...)[0] for self-attention without dropout.
+
+    Supports RECTANGULAR projections (q kernel [D, A], A = num_heads *
+    head_dim < D) — the physically-pruned export's layer shapes.
+
+    Padding is asymmetric: keys/values (and the score columns) need the
+    128-lane pad; query ROWS only need the sublane tile, so short
+    sequences don't pay a 128-row quadratic pad.
+
+    differentiable=True wraps the kernel in a custom_vjp whose backward
+    recomputes the XLA reference — use on training forwards."""
+    b, t, d = hidden.shape
+    if key_bias is not None:
+        kb2 = jnp.broadcast_to(key_bias.astype(jnp.float32), (b, t))
+    elif mask is None:
+        kb2 = jnp.zeros((b, t), jnp.float32)
+    else:
+        kb2 = (1.0 - mask.astype(jnp.float32)) * NEG
+    gates1 = (jnp.ones((num_heads,), jnp.float32) if head_z is None
+              else head_z.astype(jnp.float32).reshape(num_heads))
+    if differentiable:
+        return _dv_self(num_heads, return_probs)(params, hidden, kb2, gates1)
+    return _self_call(params, hidden, kb2, gates1, num_heads, return_probs)

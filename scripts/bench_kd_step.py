@@ -148,7 +148,9 @@ def phase_student_update(batch=16, image_res=224, iters=8):
             params, batch["image"], batch["text_ids"], batch["text_atts"],
             idx=batch.get("idx"), zs=zs, rng=srng,
             output_attentions=True, output_hidden_states=True,
-            train=True, dtype=jnp.bfloat16,
+            # dropout-free KD config -> the differentiable fused path
+            # (kernel fwd + XLA-recompute bwd via custom_vjp)
+            train=True, dtype=jnp.bfloat16, impl="fused",
         )
         kd = retrieval_kd_losses(s_out, t_out)
         lag, _, _ = l0.lagrangian_regularization({"loga": loga, **lam}, step)

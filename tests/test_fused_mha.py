@@ -194,3 +194,63 @@ def test_bert_fused_with_output_attentions():
     np.testing.assert_allclose(np.asarray(a["last_hidden"]), np.asarray(b["last_hidden"]), atol=3e-5)
     for pa, pb in zip(a["attentions"], b["attentions"]):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-5)
+
+
+def test_differentiable_fused_self_grads_match_xla():
+    """custom_vjp path: kernel forward + XLA-recompute backward must give
+    the same gradients as the pure XLA path — including cotangents through
+    the probs output (the KD attention loss differentiates probs) and the
+    head gates (L0 loga grads flow through zs)."""
+    from efficientvlm_tpu.ops.pallas_fused_mha import fused_self_attention as fsa
+
+    D, H = 128, 2
+    params = init_attention(jax.random.PRNGKey(0), D, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, D)) * 0.05
+    mask = jnp.ones((2, 9), jnp.int32).at[1, 6:].set(0)
+    hz = jnp.asarray([1.0, 0.6])
+
+    def loss_fused(params, x, hz):
+        out, probs = fsa(params, x, num_heads=H, mask=mask, head_z=hz,
+                         return_probs=True, differentiable=True)
+        return jnp.sum(out ** 2) + jnp.sum(probs[:, :, :, :3]) * 0.1
+
+    def loss_xla(params, x, hz):
+        out, probs, _ = multi_head_attention(
+            params, x, num_heads=H, bias=make_attention_bias(mask), head_z=hz,
+            output_probs=True)
+        return jnp.sum(out ** 2) + jnp.sum(probs[:, :, :, :3]) * 0.1
+
+    va, ga = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(params, x, hz)
+    vb, gb = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(params, x, hz)
+    np.testing.assert_allclose(float(va), float(vb), rtol=2e-4)
+    for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-4, rtol=2e-3)
+
+
+def test_bert_train_mode_fused_grads(monkeypatch):
+    """bert_apply impl='fused' in TRAIN mode (dropout-free) must be
+    differentiable end-to-end and match the XLA path's loss/grads."""
+    cfg = TextConfig.create(
+        vocab_size=60, hidden_size=128, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=96, encoder_width=128, max_position_embeddings=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    params = B.init_bert(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 9), 0, 60)
+    atts = jnp.ones((2, 9), jnp.int32)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 128))
+    enc_atts = jnp.ones((2, 5), jnp.int32)
+
+    def loss(params, impl):
+        out = B.bert_apply(params, ids, cfg, attention_mask=atts,
+                           encoder_hidden=enc, encoder_attention_mask=enc_atts,
+                           impl=impl, train=True, rng=jax.random.PRNGKey(3),
+                           output_attentions=True)
+        return (jnp.sum(out["last_hidden"] ** 2)
+                + sum(jnp.sum(p) for p in out["attentions"]) * 0.01)
+
+    va, ga = jax.value_and_grad(lambda p: loss(p, "fused"))(params)
+    vb, gb = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+    np.testing.assert_allclose(float(va), float(vb), rtol=2e-4)
+    for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=3e-4, rtol=3e-3)
