@@ -83,10 +83,15 @@ def _models(batch, image_res, *, need_student=True, need_teacher_params=True):
     return student, teacher, tparams, l0, opts, state, batch_data
 
 
-def _teacher_fwd_fn(teacher):
+def _teacher_fwd_fn(teacher, impl="xla"):
     """teacher params are an ARGUMENT of the jitted fn — closed-over arrays
     inline into the lowered module as constants (~800MB of HLO for the 12L
-    teacher), which the remote compile service rejects (HTTP 413)."""
+    teacher), which the remote compile service rejects (HTTP 413).
+
+    impl: 'xla' by default for the BENCH artifact — the fused+probs teacher
+    program is faster steady-state but its 24-layer Mosaic compile blows the
+    tunnel's compile budget on this host (measured >2000s cold); pass
+    --impl fused to experiment when the helper is quiet."""
     import jax
     import jax.numpy as jnp
 
@@ -96,7 +101,7 @@ def _teacher_fwd_fn(teacher):
             batch["image"], batch["text_ids"], batch["text_atts"],
             idx=batch.get("idx"), zs=None, rng=rng,
             output_attentions=True, output_hidden_states=True,
-            train=False, dtype=jnp.bfloat16, impl="fused",
+            train=False, dtype=jnp.bfloat16, impl=impl,
         )
         return jax.tree.map(jax.lax.stop_gradient, {
             "hidden_dict": out["hidden_dict"],
@@ -108,12 +113,12 @@ def _teacher_fwd_fn(teacher):
     return teacher_fwd
 
 
-def phase_teacher_fwd(batch=16, image_res=224, iters=8):
+def phase_teacher_fwd(batch=16, image_res=224, iters=8, impl="xla"):
     import jax
     import numpy as np
 
     _, teacher, tparams, _, _, _, batch_data = _models(batch, image_res, need_student=False)
-    fwd = jax.jit(_teacher_fwd_fn(teacher))
+    fwd = jax.jit(_teacher_fwd_fn(teacher, impl=impl))
     for w in range(2):
         out = fwd(tparams, batch_data, jax.random.PRNGKey(5 + w))
         np.asarray(out["logits_dict"]["itm_head_logits"])  # host-fetch sync
@@ -125,7 +130,7 @@ def phase_teacher_fwd(batch=16, image_res=224, iters=8):
     print(json.dumps({"phase": "teacher_fwd", "ms": round(dt * 1e3, 2)}))
 
 
-def phase_student_update(batch=16, image_res=224, iters=8):
+def phase_student_update(batch=16, image_res=224, iters=8, impl="xla"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -148,9 +153,7 @@ def phase_student_update(batch=16, image_res=224, iters=8):
             params, batch["image"], batch["text_ids"], batch["text_atts"],
             idx=batch.get("idx"), zs=zs, rng=srng,
             output_attentions=True, output_hidden_states=True,
-            # dropout-free KD config -> the differentiable fused path
-            # (kernel fwd + XLA-recompute bwd via custom_vjp)
-            train=True, dtype=jnp.bfloat16, impl="fused",
+            train=True, dtype=jnp.bfloat16, impl=impl,
         )
         kd = retrieval_kd_losses(s_out, t_out)
         lag, _, _ = l0.lagrangian_regularization({"loga": loga, **lam}, step)
@@ -214,9 +217,14 @@ def main(batch=16, image_res=224):
 
 
 if __name__ == "__main__":
+    impl = "xla"
+    if "--impl" in sys.argv:
+        i = sys.argv.index("--impl")
+        impl = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
         b = int(sys.argv[sys.argv.index("--phase") + 2]) if len(sys.argv) > sys.argv.index("--phase") + 2 else 16
-        {"teacher_fwd": phase_teacher_fwd, "student_update": phase_student_update}[phase](batch=b)
+        {"teacher_fwd": phase_teacher_fwd, "student_update": phase_student_update}[phase](batch=b, impl=impl)
     else:
         main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 16)
