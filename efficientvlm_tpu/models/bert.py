@@ -334,7 +334,7 @@ def bert_encoder_apply(
                     cross_head_z=(hz[1] if is_cross else None) if hz is not None else None,
                     mlp_z=x.get("mlp_zs"),
                     output_probs=output_attentions, train=train,
-                    rng=x.get("rng"), dtype=dtype, impl="xla",
+                    rng=x.get("rng"), dtype=dtype, impl=impl,
                 )
                 ys = []
                 if output_hidden_states:

@@ -233,7 +233,7 @@ def vit_apply(
                 mlp_z=x.get("mlp_z"),
                 output_probs=output_attentions,
                 dropout_rate=cfg.get("attention_dropout", 0.0),
-                rng=x.get("rng"), train=train, dtype=dtype, impl="xla",
+                rng=x.get("rng"), train=train, dtype=dtype, impl=impl,
             )
             ys = []
             if output_hidden_states:

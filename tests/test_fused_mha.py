@@ -254,3 +254,98 @@ def test_bert_train_mode_fused_grads(monkeypatch):
     np.testing.assert_allclose(float(va), float(vb), rtol=2e-4)
     for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=3e-4, rtol=3e-3)
+
+
+def test_vit_scan_fused_equals_unrolled_xla():
+    """impl='fused' rides INSIDE the lax.scan body (one Mosaic lowering per
+    scan group instead of one per layer — this is what makes the fused
+    teacher/KD programs compile in minutes, not hours): scanned-fused must
+    equal unrolled-XLA, including the KD probs taps."""
+    kw = dict(
+        vision_width=128, num_attention_heads=2, intermediate_size=96,
+        num_hidden_layers=2, image_res=16, patch_size=8,
+    )
+    cfg_scan = VisionConfig.create(scan_layers=True, **kw)
+    cfg_unroll = VisionConfig.create(**kw)
+    params = V.init_vit(jax.random.PRNGKey(0), cfg_scan)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.1
+    a = V.vit_apply(params, imgs, cfg_unroll, impl="xla",
+                    output_attentions=True, output_hidden_states=True)
+    b = V.vit_apply(params, imgs, cfg_scan, impl="fused",
+                    output_attentions=True, output_hidden_states=True)
+    np.testing.assert_allclose(np.asarray(a["last_hidden"]), np.asarray(b["last_hidden"]), atol=3e-5)
+    for pa, pb in zip(a["attentions"], b["attentions"]):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-5)
+    for ha, hb in zip(a["hidden_states"], b["hidden_states"]):
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), atol=3e-5)
+
+
+def test_bert_scan_fused_equals_unrolled_xla():
+    """Text + cross scan groups with impl='fused' (self AND cross kernels
+    inside scan) vs the unrolled XLA program."""
+    kw = dict(
+        vocab_size=60, hidden_size=128, num_hidden_layers=4, fusion_layer=2,
+        num_attention_heads=2, intermediate_size=96, encoder_width=128,
+        max_position_embeddings=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    cfg_scan = TextConfig.create(scan_layers=True, **kw)
+    cfg_unroll = TextConfig.create(**kw)
+    params = B.init_bert(jax.random.PRNGKey(0), cfg_scan)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 9), 0, 60)
+    atts = jnp.ones((2, 9), jnp.int32).at[0, 6:].set(0)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 128)) * 0.1
+    enc_atts = jnp.ones((2, 5), jnp.int32)
+    mkw = dict(attention_mask=atts, encoder_hidden=enc, encoder_attention_mask=enc_atts,
+               output_attentions=True)
+    a = B.bert_apply(params, ids, cfg_unroll, impl="xla", **mkw)
+    b = B.bert_apply(params, ids, cfg_scan, impl="fused", **mkw)
+    np.testing.assert_allclose(np.asarray(a["last_hidden"]), np.asarray(b["last_hidden"]), atol=3e-5)
+    for pa, pb in zip(a["attentions"], b["attentions"]):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-5)
+    for pa, pb in zip(a["cross_attentions"], b["cross_attentions"]):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-5)
+
+
+def test_vit_scan_fused_train_grads_match_xla():
+    """Scan + fused + differentiable custom_vjp (the student KD forward):
+    grads through the scanned fused kernel match the unrolled XLA path."""
+    kw = dict(
+        vision_width=128, num_attention_heads=2, intermediate_size=96,
+        num_hidden_layers=2, image_res=16, patch_size=8,
+        attention_dropout=0.0,
+    )
+    cfg_scan = VisionConfig.create(scan_layers=True, **kw)
+    cfg_unroll = VisionConfig.create(**kw)
+    params = V.init_vit(jax.random.PRNGKey(0), cfg_scan)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.1
+
+    def loss(params, cfg, impl):
+        out = V.vit_apply(params, imgs, cfg, impl=impl, train=True,
+                          rng=jax.random.PRNGKey(3), output_attentions=True)
+        return (jnp.sum(out["last_hidden"] ** 2)
+                + sum(jnp.sum(p) for p in out["attentions"]) * 0.01)
+
+    va, ga = jax.value_and_grad(lambda p: loss(p, cfg_scan, "fused"))(params)
+    vb, gb = jax.value_and_grad(lambda p: loss(p, cfg_unroll, "xla"))(params)
+    np.testing.assert_allclose(float(va), float(vb), rtol=2e-4)
+    for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=3e-4, rtol=3e-3)
+
+
+def test_scan_fused_actually_instantiates_pallas():
+    """Regression guard: with scan_layers=True, impl='fused' must reach the
+    kernel INSIDE the scan body (it silently no-op'd to XLA before the scan
+    bodies threaded impl through). Trace-only: counts pallas_call in the
+    jaxpr, no Mosaic compile."""
+    cfg = VisionConfig.create(
+        vision_width=128, num_attention_heads=2, intermediate_size=96,
+        num_hidden_layers=2, image_res=16, patch_size=8, scan_layers=True,
+    )
+    params = jax.eval_shape(lambda k: V.init_vit(k, cfg), jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+    imgs = jnp.zeros((2, 16, 16, 3))
+    for impl, expect in (("xla", 0), ("fused", 1)):
+        jx = str(jax.make_jaxpr(
+            lambda p, im: V.vit_apply(p, im, cfg, impl=impl)["last_hidden"])(params, imgs))
+        assert jx.count("pallas_call") == expect, (impl, jx.count("pallas_call"))
