@@ -14,7 +14,20 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The ambient axon sitecustomize imports jax at interpreter start and pins
+# jax.config.jax_platforms = "axon,cpu" — which overrides the JAX_PLATFORMS
+# env var set above (the platform choice is already baked by the time this
+# file runs). Re-assert cpu on the CONFIG, not just the env, or the whole
+# suite silently runs single-device on the tunneled TPU whenever axon init
+# succeeds (racy: it depends on tunnel state). Same pattern as
+# __graft_entry__._provision_cpu_devices and parallel/multihost_check.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, (
+    "test harness expects 8 virtual CPU devices, got "
+    f"{len(jax.devices())} x {jax.devices()[0].platform}"
+)
 
 
 @pytest.fixture(scope="session")
