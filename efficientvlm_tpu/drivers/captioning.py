@@ -157,15 +157,16 @@ def main(args: Config, config: Config) -> dict:
             impl=config.get("attn_impl", "fused"),  # eval-mode: fused+probs
         )
 
-    step_fn, mesh, _ = common.data_parallel_step(common.wrap_step_with_preprocess(
-        make_task_train_step(
-            student_forward, teacher_forward,
-            lambda s, t: captioning_kd_losses(s, t, temperature=float(args.get("temperature", 1.0))),
-            l0, optimizers, teacher_params=None,
-            task_weight=0.7, kd_weight=0.3,  # Eff_Captioning.py:144
-            axis_name=common.dp_axis_name(),
-        ), config,
-    ), with_teacher=True)
+    step_fn, mesh, state = common.build_train_step(
+        lambda axis_name: common.wrap_step_with_preprocess(
+            make_task_train_step(
+                student_forward, teacher_forward,
+                lambda s, t: captioning_kd_losses(s, t, temperature=float(args.get("temperature", 1.0))),
+                l0, optimizers, teacher_params=None,
+                task_weight=0.7, kd_weight=0.3,  # Eff_Captioning.py:144
+                axis_name=axis_name,
+            ), config,
+        ), config, state, with_teacher=True)
 
     start_epoch = 0
     if args.get("resume") and args.get("output_dir"):

@@ -194,6 +194,32 @@ def data_parallel_step(step_fn, *, fold_rng: bool = True, with_teacher: bool = F
     return fn, mesh, n
 
 
+def build_train_step(step_factory, config: Config, state, *, with_teacher: bool = True):
+    """Build the driver's jitted train step honoring `zero1: true`
+    (ZeRO-1 optimizer-state sharding, parallel/zero.py).
+
+    step_factory(axis_name) -> step_fn. With zero1 the step is built
+    axis-free (global-batch semantics under pjit; XLA inserts the
+    collectives) and the returned STATE is re-placed with sharded moments —
+    callers must use the returned state. Otherwise the usual shard_map DP
+    wrap applies. Only for drivers whose batches carry NO shard-local
+    gather indices (retrieval/NLVR/captioning are flat; GD region batches
+    and sharded vqa_collate k_index are LOCAL per shard, so those drivers
+    stay on the shard_map path).
+
+    Returns (step_fn, mesh, state)."""
+    use_zero1 = bool(config.get("zero1")) and jax.device_count() > 1
+    step = step_factory(None if use_zero1 else dp_axis_name())
+    if use_zero1:
+        from ..parallel.zero import state_shardings, zero1_step
+
+        fn, mesh, _ = zero1_step(step, state, with_teacher=with_teacher)
+        state = jax.device_put(state, state_shardings(mesh, state))
+    else:
+        fn, mesh, _ = data_parallel_step(step, with_teacher=with_teacher)
+    return fn, mesh, state
+
+
 def dp_axis_name() -> Optional[str]:
     """'data' when >1 GLOBAL device (drivers pass it into step factories so
     grads/metrics pmean and the ITC all_gather span the whole mesh — e.g. a
@@ -278,6 +304,19 @@ def save_full_state(output_dir: str, state, extra: dict, *, tag="latest") -> Non
     optimizer states — plus driver metadata (epoch/step), mirroring the
     reference's saved dict {model, optimizer, lr_scheduler, epoch}
     (GeneralDistill.py:420-426)."""
+    # ZeRO-1 states carry moments sharded across devices/processes: rank 0
+    # cannot host-fetch a non-fully-addressable leaf, so replicate such
+    # leaves first (a jit identity with replicated out_sharding gathers
+    # through the mesh). No-op for ordinary replicated states.
+    def _gather(x):
+        if getattr(x, "is_fully_addressable", True):
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(x.sharding.mesh, PartitionSpec())
+        return jax.jit(lambda a: a, out_shardings=repl)(x)
+
+    state = jax.tree.map(_gather, state)
     if get_rank() != 0 or not output_dir:
         return
     path = os.path.join(output_dir, "training_state_latest.ckpt")

@@ -147,16 +147,17 @@ def main(args: Config, config: Config) -> dict:
             impl=config.get("attn_impl", "fused"),
         )
 
-    step_fn, mesh, _ = common.data_parallel_step(common.wrap_step_with_preprocess(
-        make_task_train_step(
-            student_forward, teacher_forward,
-            lambda s, t: nlvr_kd_losses(s, t, fusion_layer_s=fusion_s,
-                                        temperature=float(args.get("temperature", 1.0))),
-            l0, optimizers, teacher_params=None,
-            task_weight=0.8, kd_weight=0.2,  # Eff_NLVR.py:150
-            axis_name=common.dp_axis_name(),
-        ), config, image_keys=("image0", "image1"),
-    ), with_teacher=True)
+    step_fn, mesh, state = common.build_train_step(
+        lambda axis_name: common.wrap_step_with_preprocess(
+            make_task_train_step(
+                student_forward, teacher_forward,
+                lambda s, t: nlvr_kd_losses(s, t, fusion_layer_s=fusion_s,
+                                            temperature=float(args.get("temperature", 1.0))),
+                l0, optimizers, teacher_params=None,
+                task_weight=0.8, kd_weight=0.2,  # Eff_NLVR.py:150
+                axis_name=axis_name,
+            ), config, image_keys=("image0", "image1"),
+        ), config, state, with_teacher=True)
 
     start_epoch = 0
     if args.get("resume") and args.get("output_dir"):

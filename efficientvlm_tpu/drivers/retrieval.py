@@ -151,14 +151,17 @@ def main(args: Config, config: Config) -> dict:
 
     dtype = _jnp.bfloat16 if config.get("compute_dtype", "bf16") == "bf16" else None
     impl = config.get("attn_impl", "fused")
-    step_fn, mesh, _ = common.data_parallel_step(common.wrap_step_with_preprocess(
-        make_retrieval_train_step(
-            student, teacher, l0, optimizers, teacher_params=None,
-            temperature=float(args.get("temperature", 1.0)),
-            axis_name=common.dp_axis_name(),
-            dtype=dtype, impl=impl,
-        ), config,
-    ), with_teacher=True)
+    # zero1: true — ZeRO-1 optimizer-state sharding (parallel/zero.py): the
+    # step is written on GLOBAL arrays (axis_name=None; XLA inserts the
+    # collectives) and the 3 optimizers' moments live sharded over 'data'.
+    step_fn, mesh, state = common.build_train_step(
+        lambda axis_name: common.wrap_step_with_preprocess(
+            make_retrieval_train_step(
+                student, teacher, l0, optimizers, teacher_params=None,
+                temperature=float(args.get("temperature", 1.0)),
+                axis_name=axis_name, dtype=dtype, impl=impl,
+            ), config,
+        ), config, state, with_teacher=True)
 
     best = 0.0
     best_epoch = 0
