@@ -475,6 +475,11 @@ def bert_apply(
         )
     else:
         h = inputs_embeds
+    if cfg.get("act_partition"):
+        # context-parallel hook (SURVEY §5.7) — see vit_apply
+        from ..parallel.sharding import constrain_activations
+
+        h = constrain_activations(h, cfg["act_partition"])
 
     t = h.shape[1]
     if is_decoder:

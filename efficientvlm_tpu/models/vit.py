@@ -191,6 +191,13 @@ def vit_apply(
     h = jnp.concatenate([cls, patches], axis=1)
     h = h + params["pos_embed"]["embedding"][None, : h.shape[1]].astype(h.dtype)
     h = layer_norm(params["pre_ln"], h, eps=1e-5)
+    if cfg.get("act_partition"):
+        # context-parallel hook (SURVEY §5.7): pin [B, S, D] activations to
+        # the cfg axes (e.g. ["data","seq"]); GSPMD propagates through the
+        # layer stack and inserts the attention K/V all-gathers
+        from ..parallel.sharding import constrain_activations
+
+        h = constrain_activations(h, cfg["act_partition"])
 
     # Region local-attention bias (clip_vit.py:291-300): grouped rows get
     # per-region patch masks; the original full-attention rows get all-ones.

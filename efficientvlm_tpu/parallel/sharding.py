@@ -80,6 +80,34 @@ def shard_params(params, mesh: Mesh):
     )
 
 
+SEQ_AXIS = "seq"
+
+
+def make_sp_mesh(data: Optional[int] = None, seq: int = 1, devices=None) -> Mesh:
+    """('data','seq') mesh — the context-parallel hook SURVEY §5.7 asks to
+    keep plumbed-but-unit-sized: sequences in this model family are tiny
+    (<=901 patches), so seq=1 in production; a seq>1 axis shards the token
+    dim of activations via constrain_activations and GSPMD inserts the K/V
+    all-gathers."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // seq
+    assert data * seq <= len(devices), (data, seq, len(devices))
+    arr = np.asarray(devices[: data * seq]).reshape(data, seq)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+
+
+def constrain_activations(h, act_partition):
+    """with_sharding_constraint on a [batch, seq, hidden] activation using
+    the cfg-provided leading axis names (e.g. ["data","seq"]). No-op when
+    unset, so shard_map/eager paths are untouched. Requires an ambient mesh
+    (jax.sharding.use_mesh) when set."""
+    if not act_partition:
+        return h
+    spec = P(*act_partition, *([None] * (h.ndim - len(act_partition))))
+    return jax.lax.with_sharding_constraint(h, spec)
+
+
 def batch_partition_spec(batch: dict) -> dict:
     return {k: P(DATA_AXIS) for k in batch}
 
