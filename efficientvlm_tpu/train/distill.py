@@ -67,6 +67,19 @@ def kd_pair(student_out: dict, teacher_out: dict, *, hidden_key="hidden_states",
     return h, a
 
 
+def subset_taps(taps: Sequence[Array], n_student: int, *, is_attn: bool = False) -> list:
+    """Pre-select the student-mapped teacher tap layers (get_cor_teacher's
+    mapping) so a SPLIT teacher program only materializes the taps the
+    student update will read — for a 12L->6L pair this halves the
+    teacher-output tree (the [B,H,S,S] probs dominate its bytes).
+    Composes with kd_list because get_cor_teacher over equal-length lists
+    is the identity mapping."""
+    want = n_student if is_attn else n_student + 1
+    if len(taps) == want:
+        return list(taps)
+    return get_cor_teacher(list(taps), [None] * want, is_attn=is_attn)
+
+
 def kd_list(student: Sequence[Array], teacher: Sequence[Array], *, is_attn=False, is_img=False) -> Array:
     t = get_cor_teacher([jax.lax.stop_gradient(x) for x in teacher], student, is_attn=is_attn)
     return kd_loss(student, t, is_attn=is_attn, is_img=is_img)

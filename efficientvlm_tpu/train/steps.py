@@ -405,6 +405,32 @@ def make_task_train_step(
     return train_step
 
 
+def subset_teacher_taps(out: dict, *, vision_layers: int, text_fusion: int,
+                        cross_layers: int) -> dict:
+    """Shrink a teacher KD-output tree to the STUDENT-mapped tap layers
+    (train/distill.py:subset_taps). Used by split-step teacher programs so
+    the unread taps are never materialized as program outputs (XLA then
+    dead-code-eliminates their stores); the monolithic step needs no such
+    trimming because DCE sees the whole graph."""
+
+    def n_for(key: str) -> int:
+        if key.startswith("image"):
+            return vision_layers
+        if key.startswith("text"):
+            return text_fusion
+        return cross_layers  # itm_pos_* / itm_neg_* fusion-mode taps
+
+    return {
+        "hidden_dict": {k: D.subset_taps(v, n_for(k))
+                        for k, v in out["hidden_dict"].items()},
+        "attention_dict": {k: D.subset_taps(v, n_for(k), is_attn=True)
+                           for k, v in out["attention_dict"].items()},
+        "cross_attention_dict": {k: D.subset_taps(v, n_for(k), is_attn=True)
+                                 for k, v in out["cross_attention_dict"].items()},
+        "logits_dict": out["logits_dict"],
+    }
+
+
 def make_split_retrieval_train_step(
     student_model,
     teacher_model,
@@ -423,6 +449,9 @@ def make_split_retrieval_train_step(
 
     Returns train_step(state, batch, rng) like make_retrieval_train_step;
     internally two jits."""
+    sv = student_model.vision_cfg["num_hidden_layers"]
+    sf = student_model.text_cfg["fusion_layer"]
+    sx = student_model.text_cfg["num_hidden_layers"] - sf
 
     @jax.jit
     def teacher_fwd(tp, batch, rng):
@@ -433,13 +462,11 @@ def make_split_retrieval_train_step(
             output_attentions=True, output_hidden_states=True,
             train=False, dtype=dtype, impl=impl,
         )
-        # stop gradients & drop the loss dict (host scalars not needed)
-        return jax.tree.map(jax.lax.stop_gradient, {
-            "hidden_dict": out["hidden_dict"],
-            "attention_dict": out["attention_dict"],
-            "cross_attention_dict": out["cross_attention_dict"],
-            "logits_dict": out["logits_dict"],
-        })
+        # stop gradients & drop the loss dict (host scalars not needed);
+        # keep only the student-mapped tap layers as program outputs
+        return jax.tree.map(jax.lax.stop_gradient, subset_teacher_taps(
+            out, vision_layers=sv, text_fusion=sf, cross_layers=sx,
+        ))
 
     def loss_fn(params, loga, lam, batch, teacher_outputs, rng, step):
         zrng, srng = jax.random.split(rng)

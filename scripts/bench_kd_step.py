@@ -95,6 +95,8 @@ def _teacher_fwd_fn(teacher, impl="xla"):
     import jax
     import jax.numpy as jnp
 
+    from efficientvlm_tpu.train.steps import subset_teacher_taps
+
     def teacher_fwd(tparams, batch, rng):
         out = teacher.forward(
             jax.lax.stop_gradient(tparams),
@@ -103,12 +105,12 @@ def _teacher_fwd_fn(teacher, impl="xla"):
             output_attentions=True, output_hidden_states=True,
             train=False, dtype=jnp.bfloat16, impl=impl,
         )
-        return jax.tree.map(jax.lax.stop_gradient, {
-            "hidden_dict": out["hidden_dict"],
-            "attention_dict": out["attention_dict"],
-            "cross_attention_dict": out["cross_attention_dict"],
-            "logits_dict": out["logits_dict"],
-        })
+        # only the student-mapped tap layers leave the program (the 6L
+        # student reads every other 12L teacher layer; emitting all of them
+        # would double the tap IO and the teacher-output tree)
+        return jax.tree.map(jax.lax.stop_gradient, subset_teacher_taps(
+            out, vision_layers=6, text_fusion=3, cross_layers=3,
+        ))
 
     return teacher_fwd
 

@@ -123,3 +123,79 @@ def test_retrieval_eval_pipeline_and_sharding():
     s2_t2i = parts[0][1] + parts[1][1]
     res2 = R.itm_eval(s2_i2t, s2_t2i, txt2img, img2txt)
     assert res1 == res2
+
+
+def test_split_step_tap_subsetting_is_lossless():
+    """subset_teacher_taps must leave the KD losses BIT-IDENTICAL: it only
+    drops teacher tap layers get_cor_teacher would discard anyway, so the
+    split teacher program can stop materializing them as outputs."""
+    from efficientvlm_tpu.train.steps import retrieval_kd_losses, subset_teacher_taps
+
+    student, sparams = _mk(2, 4, seed=0)
+    teacher, tparams = _mk(4, 4, seed=1)
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(3), (4, 16, 16, 3)),
+        "text_ids": jax.random.randint(jax.random.PRNGKey(4), (4, 8), 0, 50),
+        "text_atts": jnp.ones((4, 8), jnp.int32),
+        "idx": jnp.arange(4),
+    }
+    kw = dict(output_attentions=True, output_hidden_states=True, train=False,
+              rng=jax.random.PRNGKey(7))
+    s_out = student.forward(sparams, batch["image"], batch["text_ids"],
+                            batch["text_atts"], idx=batch["idx"], zs=None, **kw)
+    t_out = teacher.forward(tparams, batch["image"], batch["text_ids"],
+                            batch["text_atts"], idx=batch["idx"], zs=None, **kw)
+    full = {k: t_out[k] for k in
+            ("hidden_dict", "attention_dict", "cross_attention_dict", "logits_dict")}
+    sv = student.vision_cfg["num_hidden_layers"]
+    sf = student.text_cfg["fusion_layer"]
+    sx = student.text_cfg["num_hidden_layers"] - sf
+    sub = subset_teacher_taps(full, vision_layers=sv, text_fusion=sf, cross_layers=sx)
+
+    kd_a = retrieval_kd_losses(s_out, full)
+    kd_b = retrieval_kd_losses(s_out, sub)
+    for k in kd_a:
+        np.testing.assert_array_equal(np.asarray(kd_a[k]), np.asarray(kd_b[k]), err_msg=k)
+    # and it really shrinks the tree
+    n_full = len(jax.tree.leaves(full))
+    n_sub = len(jax.tree.leaves(sub))
+    assert n_sub < n_full, (n_sub, n_full)
+
+
+def test_split_retrieval_train_step_runs():
+    """Two-program KD step (separate teacher/student jits, the production
+    configuration for heavy graphs) trains with finite metrics."""
+    from efficientvlm_tpu.train.optim import (
+        create_l0_optimizer as mk_l0, create_lagrangian_optimizer as mk_lam,
+        create_optimizer as mk_opt,
+    )
+    from efficientvlm_tpu.train.steps import make_split_retrieval_train_step
+
+    student, sparams = _mk(2, 4, seed=0)
+    teacher, tparams = _mk(4, 4, seed=1)
+    l0 = XVLML0Module(
+        vision_layers=2, text_layers=2, cross_layers=2,
+        hidden_size=32, intermediate_size=64, num_heads=4,
+        target_sparsity=0.2, lagrangian_warmup=10,
+    )
+    l0_params = l0.init(jax.random.PRNGKey(2))
+    opts = (
+        mk_opt(sparams, lr=1e-3, weight_decay=0.01, grad_clip=1.0),
+        mk_l0(reg_lr=0.05),
+        mk_lam(reg_lr=0.05),
+    )
+    state = init_train_state(sparams, l0_params, opts)
+    step_fn = make_split_retrieval_train_step(
+        student, teacher, l0, opts, teacher_params=tparams,
+    )
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(3), (4, 16, 16, 3)),
+        "text_ids": jax.random.randint(jax.random.PRNGKey(4), (4, 8), 0, 50),
+        "text_atts": jnp.ones((4, 8), jnp.int32),
+        "idx": jnp.arange(4),
+    }
+    for i in range(2):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(10 + i))
+    assert int(state.step) == 2
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
