@@ -195,6 +195,68 @@ def phase_pruned_vqa(sparsity=0.35):
                       "sparsity": sparsity, "realized_sparsity": realized}))
 
 
+def build_caption(num_layers, image_res=384):
+    import jax
+
+    from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+    from efficientvlm_tpu.models.model_generation import XVLMForCaptioning
+    from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    vcfg = VisionConfig.create(num_hidden_layers=num_layers, image_res=image_res)
+    tcfg = TextConfig.create(
+        num_hidden_layers=num_layers, fusion_layer=num_layers // 2, encoder_width=768,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = XVLMForCaptioning(vcfg, tcfg, Config({}))
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def bench_caption(model, params, batch=16, image_res=384, iters=5,
+                  num_beams=3, max_length=20, impl="fused"):
+    """The captioning inference hot path (SURVEY §3.4: beam-search generate,
+    reference model_generation.py:155-227 / Eff_Captioning eval): 384px
+    encode + KV-cached 3-beam decode to 20 tokens. Throughput = images/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    image = jax.random.normal(jax.random.PRNGKey(1), (batch, image_res, image_res, 3), jnp.bfloat16)
+    # "a picture of" style prompt: 4 tokens incl. [CLS], SEP dropped
+    prompt = jnp.asarray([[101, 1037, 3861, 1997]] * batch, jnp.int32)
+
+    gen = jax.jit(lambda p, img, pids: model.generate(
+        p, img, pids, num_beams=num_beams, max_length=max_length, min_length=5,
+        eos_id=102, pad_id=0, dtype=jnp.bfloat16, impl=impl))
+    out = gen(params, image, prompt)
+    np.asarray(out)  # host-fetch sync (tunnel: block_until_ready lies)
+    t0 = time.perf_counter()
+    outs = [gen(params, image, prompt) for _ in range(iters)]
+    np.asarray(outs[-1])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def phase_caption_teacher():
+    model, params = build_caption(12)
+    print(json.dumps({"tput": bench_caption(model, _cast_bf16(params))}))
+
+
+def phase_pruned_caption(sparsity=0.25):
+    """BASELINE.md captioning operating point: sparsity 0.25 at 384px."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_prune_probe import aligned_zs
+
+    from efficientvlm_tpu.pruning.export import prune_xvlm_params
+
+    model, params = build_caption(6)
+    zs = aligned_zs(sparsity)
+    realized = zs.pop("__realized_sparsity__")
+    params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
+    print(json.dumps({"tput": bench_caption(model, _cast_bf16(params)),
+                      "sparsity": sparsity, "realized_sparsity": realized}))
+
+
 def _run_phase(phase: str, timeout=1200):
     env = dict(os.environ)
     here = os.path.dirname(os.path.abspath(__file__))
@@ -216,7 +278,9 @@ def main():
         phase = sys.argv[sys.argv.index("--phase") + 1]
         {"teacher": phase_teacher, "student": phase_student,
          "pruned": phase_pruned, "vqa_teacher": phase_vqa_teacher,
-         "pruned_vqa": phase_pruned_vqa}[phase]()
+         "pruned_vqa": phase_pruned_vqa,
+         "caption_teacher": phase_caption_teacher,
+         "pruned_caption": phase_pruned_caption}[phase]()
         return
 
     teacher = _run_phase("teacher")["tput"]
@@ -228,6 +292,12 @@ def main():
         vqa_teacher = _run_phase("vqa_teacher", timeout=1500).get("tput")
     except Exception as e:
         print(f"### vqa phase failed: {e}", file=sys.stderr)
+    pruned_caption = caption_teacher = None
+    try:
+        pruned_caption = _run_phase("pruned_caption", timeout=1800).get("tput")
+        caption_teacher = _run_phase("caption_teacher", timeout=1800).get("tput")
+    except Exception as e:
+        print(f"### caption phase failed: {e}", file=sys.stderr)
     kd_ms = None
     try:
         # scripts/bench_kd_step.py subprocesses its two programs itself
@@ -268,6 +338,10 @@ def main():
         "pruned_vqa_sparsity": 0.35,
         "pruned_vqa_vs_teacher": (
             round(pruned_vqa / vqa_teacher, 3) if pruned_vqa and vqa_teacher else None),
+        "pruned_caption_img_per_sec": round(pruned_caption, 2) if pruned_caption else None,
+        "caption_teacher_img_per_sec": round(caption_teacher, 2) if caption_teacher else None,
+        "pruned_caption_vs_teacher": (
+            round(pruned_caption / caption_teacher, 3) if pruned_caption and caption_teacher else None),
     }))
 
 
