@@ -53,7 +53,13 @@ def model_configs(config: Config) -> Tuple[VisionConfig, TextConfig]:
         num_hidden_layers=config.get("text_num_hidden_layers", 12),
         encoder_width=vision["vision_width"],
     )
-    return VisionConfig(vision), TextConfig(text)
+    vision, text = VisionConfig(vision), TextConfig(text)
+    # students scan their layer stacks too (teacher rationale below): gates
+    # ride as scan xs, and the guards fall back to the unrolled loop for
+    # region batches, KV-cache decode, and post-export non-uniform shapes
+    vision.setdefault("scan_layers", True)
+    text.setdefault("scan_layers", True)
+    return vision, text
 
 
 def teacher_configs(config: Config) -> Tuple[VisionConfig, TextConfig]:
@@ -218,6 +224,17 @@ def build_train_step(step_factory, config: Config, state, *, with_teacher: bool 
     else:
         fn, mesh, _ = data_parallel_step(step, with_teacher=with_teacher)
     return fn, mesh, state
+
+
+def data_mesh():
+    """(Mesh over ALL processes' devices, 'data') or (None, None) on one
+    chip — for steps that manage their own shard_map (split KD step)."""
+    devices = jax.devices()
+    if len(devices) == 1:
+        return None, None
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devices), ("data",)), "data"
 
 
 def dp_axis_name() -> Optional[str]:

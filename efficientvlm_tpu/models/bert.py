@@ -43,6 +43,7 @@ from ..ops.basic import (
     init_embedding,
     init_layer_norm,
     layer_norm,
+    uniform_layers as _uniform_layers,
 )
 
 Array = jax.Array
@@ -307,6 +308,9 @@ def bert_encoder_apply(
         and cache is None
         and _scannable(text_head_z, n_text, 2) and _scannable(text_mlp_z, n_text, 2)
         and _scannable(cross_head_z, n_cross, 3) and _scannable(cross_mlp_z, n_cross, 2)
+        # each scan group must be shape-uniform (post-export models are not)
+        and _uniform_layers(params["layers"][lo:min(hi, fusion)])
+        and _uniform_layers(params["layers"][max(lo, fusion):hi])
     )
     if use_scan:
         all_hidden = [] if output_hidden_states else None

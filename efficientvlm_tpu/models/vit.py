@@ -24,7 +24,10 @@ import jax.numpy as jnp
 
 from ..config import VisionConfig
 from ..ops.attention import init_attention, make_attention_bias, multi_head_attention
-from ..ops.basic import ACT2FN, dense, dropout, init_dense, init_layer_norm, layer_norm
+from ..ops.basic import (
+    ACT2FN, dense, dropout, init_dense, init_layer_norm, layer_norm,
+    uniform_layers as _uniform_layers,
+)
 
 Array = jax.Array
 
@@ -219,6 +222,7 @@ def vit_apply(
         cfg.get("scan_layers", False)
         and idx_to_group_img is None and local_attn_depth == 0
         and all(_scannable_gate(z) for z in (head_z, head_layer_z, mlp_z))
+        and _uniform_layers(params["layers"])  # post-export shapes differ
     )
     if use_scan:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])

@@ -95,3 +95,18 @@ def dropout(x: Array, rate: float, *, rng: Array | None, train: bool) -> Array:
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def uniform_layers(layers) -> bool:
+    """True when every per-layer param dict has the same tree-of-shapes —
+    the lax.scan-over-layers precondition. Physically-pruned exports carry
+    per-layer widths, so scanning must fall back to the unrolled loop."""
+    if len(layers) <= 1:
+        return True
+    import jax
+
+    def shapes(layer):
+        return jax.tree.map(lambda x: getattr(x, "shape", None), layer)
+
+    s0 = shapes(layers[0])
+    return all(shapes(l) == s0 for l in layers[1:])
