@@ -154,14 +154,28 @@ def main(args: Config, config: Config) -> dict:
     # zero1: true — ZeRO-1 optimizer-state sharding (parallel/zero.py): the
     # step is written on GLOBAL arrays (axis_name=None; XLA inserts the
     # collectives) and the 3 optimizers' moments live sharded over 'data'.
-    step_fn, mesh, state = common.build_train_step(
-        lambda axis_name: common.wrap_step_with_preprocess(
-            make_retrieval_train_step(
-                student, teacher, l0, optimizers, teacher_params=None,
-                temperature=float(args.get("temperature", 1.0)),
-                axis_name=axis_name, dtype=dtype, impl=impl,
-            ), config,
-        ), config, state, with_teacher=True)
+    # split_kd_step: true — the production two-program KD step (teacher fwd
+    # and student update compile separately; the monolithic graph is heavy
+    # at scale, CLAUDE.md). Not combined with zero1/device_preprocess.
+    if (config.get("split_kd_step") and not config.get("zero1")
+            and not config.get("device_preprocess")):
+        from ..train.steps import make_split_retrieval_train_step
+
+        mesh, axis = common.data_mesh()
+        step_fn = make_split_retrieval_train_step(
+            student, teacher, l0, optimizers, teacher_params=None,
+            temperature=float(args.get("temperature", 1.0)),
+            dtype=dtype, impl=impl, axis_name=axis, mesh=mesh,
+        )
+    else:
+        step_fn, mesh, state = common.build_train_step(
+            lambda axis_name: common.wrap_step_with_preprocess(
+                make_retrieval_train_step(
+                    student, teacher, l0, optimizers, teacher_params=None,
+                    temperature=float(args.get("temperature", 1.0)),
+                    axis_name=axis_name, dtype=dtype, impl=impl,
+                ), config,
+            ), config, state, with_teacher=True)
 
     best = 0.0
     best_epoch = 0

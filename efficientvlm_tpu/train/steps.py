@@ -441,26 +441,38 @@ def make_split_retrieval_train_step(
     temperature: float = 1.0,
     dtype=None,
     impl: str = "xla",
+    axis_name: Optional[str] = None,
+    mesh=None,
 ):
     """Two-program variant of the retrieval KD step: the teacher forward and
     the student update compile as SEPARATE XLA programs (the monolithic
     teacher+student+grads graph can exceed the compiler's memory at
     production scale). Teacher outputs stay on-device between the calls.
 
+    With mesh+axis_name, EACH program is its own jit(shard_map) over the
+    'data' axis (an outer shard_map would inline the inner jits back into
+    one program, defeating the split): teacher taps come out batch-sharded
+    and feed the student program without leaving the devices; grads and
+    metrics pmean inside the student program.
+
     Returns train_step(state, batch, rng) like make_retrieval_train_step;
     internally two jits."""
+    assert (mesh is None) == (axis_name is None), (
+        "split step: pass mesh AND axis_name together (each program wraps "
+        "its own shard_map) or neither (single-device / global-batch)")
     sv = student_model.vision_cfg["num_hidden_layers"]
     sf = student_model.text_cfg["fusion_layer"]
     sx = student_model.text_cfg["num_hidden_layers"] - sf
 
-    @jax.jit
-    def teacher_fwd(tp, batch, rng):
+    def _teacher_fwd(tp, batch, rng):
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         out = teacher_model.forward(
             jax.lax.stop_gradient(tp),
             batch["image"], batch["text_ids"], batch["text_atts"],
             idx=batch.get("idx"), zs=None, rng=rng,
             output_attentions=True, output_hidden_states=True,
-            train=False, dtype=dtype, impl=impl,
+            axis_name=axis_name, train=False, dtype=dtype, impl=impl,
         )
         # stop gradients & drop the loss dict (host scalars not needed);
         # keep only the student-mapped tap layers as program outputs
@@ -475,7 +487,7 @@ def make_split_retrieval_train_step(
             params, batch["image"], batch["text_ids"], batch["text_atts"],
             idx=batch.get("idx"), zs=zs, rng=srng,
             output_attentions=True, output_hidden_states=True,
-            train=True, dtype=dtype, impl=impl,
+            axis_name=axis_name, train=True, dtype=dtype, impl=impl,
         )
         kd = retrieval_kd_losses(student_outputs, teacher_outputs, temperature=temperature)
         loss_itc = student_outputs["loss"]["loss_itc"]
@@ -492,12 +504,36 @@ def make_split_retrieval_train_step(
         }
         return loss, metrics
 
-    @jax.jit
-    def student_update(state: TrainState, batch, teacher_outputs, rng):
+    def _student_update(state: TrainState, batch, teacher_outputs, rng):
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         (_, metrics), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
             state.params, state.loga, state.lam, batch, teacher_outputs, rng, state.step
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         return apply_updates_3way(state, grads, optimizers), metrics
+
+    if mesh is not None and axis_name is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        teacher_fwd = jax.jit(shard_map(
+            _teacher_fwd, mesh=mesh,
+            in_specs=(P(), P(axis_name), P()),
+            out_specs=P(axis_name),  # taps stay batch-sharded on-device
+            check_vma=False,
+        ))
+        student_update = jax.jit(shard_map(
+            _student_update, mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+    else:
+        teacher_fwd = jax.jit(_teacher_fwd)
+        student_update = jax.jit(_student_update)
 
     def train_step(state: TrainState, batch: dict, rng: Array, teacher_params_arg=None):
         tp = teacher_params_arg if teacher_params_arg is not None else teacher_params

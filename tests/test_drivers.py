@@ -332,3 +332,27 @@ def test_retrieval_driver_zero1(tmp_path, args):
     out = retrieval.main(args, cfg)
     assert "best_r_mean" in out and 0 <= out["best_r_mean"] <= 100
     assert os.path.exists(os.path.join(args["output_dir"], "training_state_latest.ckpt"))
+
+
+def test_retrieval_driver_split_kd_step(tmp_path, args):
+    """`split_kd_step: true` routes the driver through the two-program KD
+    step (separate teacher/student jits, each its own shard_map over
+    'data') — the production configuration for compile-heavy graphs."""
+    from efficientvlm_tpu.drivers import retrieval
+
+    img_root = str(tmp_path / "imgs")
+    write_images(img_root, 16)
+    train_ann = [{"image": f"{i}.jpg", "caption": f"a dog photo {i}", "image_id": f"im{i}"} for i in range(16)]
+    eval_ann = [{"image": f"{i}.jpg", "caption": [f"a dog {i}", f"photo {i}"]} for i in range(4)]
+    json.dump(train_ann, open(tmp_path / "train.json", "w"))
+    json.dump(eval_ann, open(tmp_path / "val.json", "w"))
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "train.json")],
+        val_file=str(tmp_path / "val.json"),
+        test_file=str(tmp_path / "val.json"),
+        image_root=img_root,
+        split_kd_step=True,
+    )
+    out = retrieval.main(args, cfg)
+    assert "best_r_mean" in out and 0 <= out["best_r_mean"] <= 100

@@ -199,3 +199,48 @@ def test_split_retrieval_train_step_runs():
     assert int(state.step) == 2
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_split_retrieval_train_step_sharded():
+    """DP variant of the two-program step: each program is its own
+    jit(shard_map) over 'data' (an outer shard_map would inline the inner
+    jits back into one program). Teacher taps stay batch-sharded between
+    the calls; grads pmean inside the student program."""
+    from jax.sharding import Mesh
+
+    from efficientvlm_tpu.train.optim import (
+        create_l0_optimizer as mk_l0, create_lagrangian_optimizer as mk_lam,
+        create_optimizer as mk_opt,
+    )
+    from efficientvlm_tpu.train.steps import make_split_retrieval_train_step
+
+    student, sparams = _mk(2, 4, seed=0)
+    teacher, tparams = _mk(4, 4, seed=1)
+    l0 = XVLML0Module(
+        vision_layers=2, text_layers=2, cross_layers=2,
+        hidden_size=32, intermediate_size=64, num_heads=4,
+        target_sparsity=0.2, lagrangian_warmup=10,
+    )
+    l0_params = l0.init(jax.random.PRNGKey(2))
+    opts = (
+        mk_opt(sparams, lr=1e-3, weight_decay=0.01, grad_clip=1.0),
+        mk_l0(reg_lr=0.05),
+        mk_lam(reg_lr=0.05),
+    )
+    state = init_train_state(sparams, l0_params, opts)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    step_fn = make_split_retrieval_train_step(
+        student, teacher, l0, opts, teacher_params=tparams,
+        axis_name="data", mesh=mesh,
+    )
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(3), (8, 16, 16, 3)),
+        "text_ids": jax.random.randint(jax.random.PRNGKey(4), (8, 8), 0, 50),
+        "text_atts": jnp.ones((8, 8), jnp.int32),
+        "idx": jnp.arange(8),
+    }
+    for i in range(2):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(10 + i))
+    assert int(state.step) == 2
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
