@@ -24,6 +24,12 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# CPU compiles dominate the suite's wall time (train steps take minutes to
+# build); the on-disk XLA cache makes re-runs start from compiled programs.
+from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 assert len(jax.devices()) == 8, (
     "test harness expects 8 virtual CPU devices, got "
     f"{len(jax.devices())} x {jax.devices()[0].platform}"
