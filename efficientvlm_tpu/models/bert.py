@@ -131,7 +131,9 @@ def bert_embeddings(
 
 
 def _num_heads(attn_params: dict, head_dim: int) -> int:
-    return attn_params["q"]["kernel"].shape[1] // head_dim
+    q = attn_params["q"]
+    k = q.get("kernel", q.get("kernel_q8", q.get("kernel_q8a8")))
+    return k.shape[1] // head_dim
 
 
 def bert_layer_apply(
@@ -171,6 +173,7 @@ def bert_layer_apply(
             and (not train or (adrop == 0.0 and hdrop == 0.0))
             and (bias is None or (bias.ndim == 4 and bias.shape[2] == 1))
             and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
+            and "kernel" in lp["attention"]["q"]  # int8 params run XLA
         )
         if use_fused:
             from ..ops.pallas_fused_mha import fused_self_attention
@@ -209,6 +212,7 @@ def bert_layer_apply(
             and (encoder_bias is None
                  or (encoder_bias.ndim == 4 and encoder_bias.shape[2] == 1))
             and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
+            and "kernel" in lp["crossattention"]["q"]  # int8 params run XLA
         )  # cached decode queries are 1 token — the XLA path wins there
         if use_fused_x:
             from ..ops.pallas_fused_mha import fused_cross_attention
@@ -533,7 +537,7 @@ def init_bert_cache(
     head_dim = cfg["hidden_size"] // cfg["num_attention_heads"]
     caches = []
     for i in range(lo, n):
-        nh = params["layers"][i]["attention"]["q"]["kernel"].shape[1] // head_dim
+        nh = _num_heads(params["layers"][i]["attention"], head_dim)
         caches.append({"self": init_decode_cache(batch, nh, max_len, head_dim, dtype)})
     return caches
 

@@ -83,7 +83,8 @@ def deit_apply(
             all_hidden.append(h)
         res = h
         x = layer_norm(lp["ln1"], h, eps=1e-6)
-        nh = lp["attn"]["q"]["kernel"].shape[1] // head_dim
+        q = lp["attn"]["q"]
+        nh = q.get("kernel", q.get("kernel_q8", q.get("kernel_q8a8"))).shape[1] // head_dim
         attn_out, probs, _ = multi_head_attention(
             lp["attn"], x, num_heads=nh,
             head_z=head_z[i] if head_z is not None else None,

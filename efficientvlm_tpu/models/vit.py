@@ -77,7 +77,9 @@ def init_vit(key: Array, cfg: VisionConfig) -> dict:
 def _num_heads(layer_params: dict, head_dim: int) -> int:
     if layer_params.get("attn") is None:
         return 0
-    return layer_params["attn"]["q"]["kernel"].shape[1] // head_dim
+    q = layer_params["attn"]["q"]
+    k = q.get("kernel", q.get("kernel_q8", q.get("kernel_q8a8")))
+    return k.shape[1] // head_dim
 
 
 def vit_layer(
@@ -109,6 +111,7 @@ def vit_layer(
             and (not train or dropout_rate == 0.0)
             and x.shape[-1] >= 128  # sub-lane widths (tiny test configs)
             # intermittently fail Mosaic compile and gain nothing from fusion
+            and "kernel" in lp["attn"]["q"]  # int8-quantized params run XLA
         )
         if use_fused:
             from ..ops.pallas_fused_mha import fused_self_attention

@@ -45,6 +45,10 @@ def init_embedding(key: Array, n: int, d: int, stddev: float = 0.02):
 
 
 def dense(params, x: Array, *, dtype=None) -> Array:
+    if "kernel" not in params:  # int8-quantized format (ops/quant.py)
+        from efficientvlm_tpu.ops.quant import dense_quantized
+
+        return dense_quantized(params, x, dtype=dtype)
     kernel = params["kernel"]
     if dtype is not None:
         kernel = kernel.astype(dtype)

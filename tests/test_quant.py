@@ -1,0 +1,144 @@
+"""Int8 post-training quantization (ops/quant.py): numerics + plumbing.
+
+The quantized format must flow transparently through every XLA-impl
+forward (dense dispatches on the param-dict keys), stay out of the fused
+Pallas path, survive the scan-over-layers stacking, and keep full-model
+features close to the float program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+from efficientvlm_tpu.models import vit as V
+from efficientvlm_tpu.ops.basic import dense, init_dense
+from efficientvlm_tpu.ops.quant import (
+    dense_quantized,
+    quantize_dense,
+    quantize_params,
+    quantized_bytes,
+)
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_quantize_dense_roundtrip():
+    p = init_dense(jax.random.PRNGKey(0), 256, 512)
+    q = quantize_dense(p, mode="w8")
+    assert q["kernel_q8"].dtype == jnp.int8
+    deq = np.asarray(q["kernel_q8"], np.float32) * np.asarray(q["scale"])[None, :]
+    k = np.asarray(p["kernel"])
+    # symmetric per-channel: error bounded by half a quantization step
+    step = np.abs(k).max(axis=0) / 127.0
+    assert np.all(np.abs(deq - k) <= 0.51 * step[None, :] + 1e-8)
+
+
+@pytest.mark.parametrize("mode", ["w8", "w8a8"])
+def test_dense_quantized_close(mode):
+    p = init_dense(jax.random.PRNGKey(1), 384, 256)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 384))
+    ref = dense(p, x)
+    q = quantize_dense(p, mode=mode)
+    # both via the public dispatch and the direct entry point
+    got = dense(q, x)
+    got2 = dense_quantized(q, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got2), rtol=1e-6, atol=1e-6)
+    assert _cos(ref, got) > 0.999
+    # and under jit with the quantized tree as an ARGUMENT (the mode must
+    # ride in the tree structure, not in a traced leaf)
+    jgot = jax.jit(lambda qq, xx: dense(qq, xx))(q, x)
+    np.testing.assert_allclose(np.asarray(jgot), np.asarray(got), rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_params_min_dim_guard():
+    tree = {
+        "big": init_dense(jax.random.PRNGKey(3), 256, 256),
+        "small_head": init_dense(jax.random.PRNGKey(4), 256, 2),
+        "ln": {"scale": jnp.ones((256,)), "bias": jnp.zeros((256,))},
+        "emb": {"embedding": jnp.zeros((100, 256))},
+    }
+    q = quantize_params(tree, min_dim=256)
+    assert "kernel_q8a8" in q["big"] and "kernel" not in q["big"]
+    assert "kernel" in q["small_head"]  # tiny head stays float
+    assert q["ln"]["scale"].dtype == jnp.float32
+    b = quantized_bytes(q)
+    assert b["quantized_bytes"] < b["float32_bytes"]
+
+
+@pytest.fixture(scope="module")
+def vit256():
+    cfg = VisionConfig.create(
+        vision_width=256, num_attention_heads=4, intermediate_size=512,
+        num_hidden_layers=2, image_res=32, patch_size=8,
+    )
+    params = V.init_vit(jax.random.PRNGKey(5), cfg)
+    return cfg, params
+
+
+@pytest.mark.parametrize("mode", ["w8", "w8a8"])
+def test_vit_forward_quantized(vit256, mode):
+    cfg, params = vit256
+    imgs = jax.random.normal(jax.random.PRNGKey(6), (2, 32, 32, 3))
+    ref = V.vit_apply(params, imgs, cfg)["last_hidden"]
+    qparams = quantize_params(params, mode=mode)
+    got = V.vit_apply(qparams, imgs, cfg)["last_hidden"]
+    assert _cos(ref, got) > 0.99, _cos(ref, got)
+
+
+def test_vit_quantized_scan_matches_unrolled(vit256):
+    cfg, params = vit256
+    qparams = quantize_params(params, mode="w8a8")
+    imgs = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 3))
+    unrolled = V.vit_apply(qparams, imgs, cfg)["last_hidden"]
+    scfg = type(cfg)(dict(cfg))
+    scfg["scan_layers"] = True
+    scanned = V.vit_apply(qparams, imgs, scfg)["last_hidden"]
+    np.testing.assert_allclose(
+        np.asarray(scanned), np.asarray(unrolled), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_retrieval_forward_quantized_parity():
+    """Whole serving unit (image+text encode -> ITC feats + ITM logits)
+    quantized end-to-end: features must stay essentially parallel to the
+    float program's."""
+    from efficientvlm_tpu.models.model_retrieval import XVLMForRetrieval
+    from efficientvlm_tpu.models.xvlm import mlp_head_apply
+
+    vcfg = VisionConfig.create(
+        vision_width=256, num_attention_heads=4, intermediate_size=512,
+        num_hidden_layers=2, image_res=32, patch_size=8,
+    )
+    tcfg = TextConfig.create(
+        vocab_size=200, hidden_size=256, num_hidden_layers=2, fusion_layer=1,
+        num_attention_heads=4, intermediate_size=512, encoder_width=256,
+        max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = XVLMForRetrieval(vcfg, tcfg, Config({"embed_dim": 64}))
+    params = model.init(jax.random.PRNGKey(8))
+
+    image = jax.random.normal(jax.random.PRNGKey(9), (2, 32, 32, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(10), (2, 8), 0, 200)
+    atts = jnp.ones((2, 8), jnp.int32)
+
+    def forward(p):
+        image_embeds, image_atts, _ = model.get_vision_embeds(p, image)
+        text_embeds = model.get_text_embeds(p, ids, atts)["last_hidden"]
+        image_feat, text_feat = model.get_features(p, image_embeds, text_embeds)
+        cross = model.get_cross_embeds(
+            p, image_embeds, image_atts, text_embeds=text_embeds, text_atts=atts)
+        itm = mlp_head_apply(p["itm_head"], cross["last_hidden"][:, 0])
+        return image_feat, text_feat, itm
+
+    ref = forward(params)
+    qparams = quantize_params(params, mode="w8a8")
+    got = jax.jit(forward)(qparams)
+    for r, g, name in zip(ref, got, ("image_feat", "text_feat", "itm")):
+        assert _cos(r, g) > 0.98, (name, _cos(r, g))
