@@ -655,6 +655,27 @@ def load_pytree(path: str):
         return serialization.msgpack_restore(f.read())
 
 
+def _relist(node):
+    if not isinstance(node, dict):
+        return node
+    node = {k: _relist(v) for k, v in node.items()}
+    if node and all(isinstance(k, str) and k.isdigit() for k in node):
+        idx = sorted(node, key=int)
+        if [int(k) for k in idx] == list(range(len(idx))):
+            return [node[k] for k in idx]
+    return node
+
+
+def load_params(path: str):
+    """Template-free load of a params-only checkpoint (the
+    scripts/export_pruned.py output, reference load_pruned_model
+    xvlm_utils.py:283-299). flax to_state_dict stringifies list indices
+    ("layers": [..] -> {"0": ..}); re-materialize contiguous digit-keyed
+    dicts as lists so model apply fns can index layers directly. Dtypes
+    (incl. int8 quantized leaves) pass through untouched."""
+    return _relist(load_pytree(path))
+
+
 def restore_pytree_like(template, state_dict):
     """Rebuild a structured pytree (e.g. a TrainState with optax optimizer
     states) from a msgpack-restored nested dict, using `template` for the

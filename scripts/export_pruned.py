@@ -21,6 +21,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # The axon sitecustomize pins jax_platforms="axon,cpu" at interpreter
+    # startup, overriding the env var; re-pin explicitly so CPU-requested
+    # exports never touch the tunneled TPU backend (see CLAUDE.md).
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
@@ -37,6 +44,15 @@ def build_l0(task: str, *, vision_layers=6, text_layers=3, cross_layers=3, **kw)
                    cross_layers=cross_layers, **kw)
 
 
+def _l0_kw(args):
+    kw = dict(vision_layers=args.vision_layers, text_layers=args.text_layers,
+              cross_layers=args.cross_layers, hidden_size=args.hidden_size,
+              intermediate_size=args.intermediate_size, num_heads=args.num_heads)
+    if args.task == "vqa":
+        kw["decoder_layers"] = args.decoder_layers
+    return kw
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--training_state", required=True)
@@ -44,13 +60,31 @@ def main():
     ap.add_argument("--out", default="pruned_student")
     ap.add_argument("--fusion_layer", type=int, default=3)
     ap.add_argument("--head_dim", type=int, default=64)
+    # L0 gate-layout geometry — must match the trained model (defaults are the
+    # x-vlm-small student: 6L vision / 3+3 text+cross, 768/12/3072 towers)
+    ap.add_argument("--vision_layers", type=int, default=6)
+    ap.add_argument("--text_layers", type=int, default=3)
+    ap.add_argument("--cross_layers", type=int, default=3)
+    ap.add_argument("--decoder_layers", type=int, default=None)
+    ap.add_argument("--hidden_size", type=int, default=768)
+    ap.add_argument("--intermediate_size", type=int, default=3072)
+    ap.add_argument("--num_heads", type=int, default=12)
+    ap.add_argument("--quantize", default="none", choices=["none", "w8", "w8a8"],
+                    help="post-training int8 quantization of the sliced params "
+                         "(ops/quant.py); .th export is skipped for quantized "
+                         "trees (torch loaders expect float kernels)")
+    ap.add_argument("--quant_min_dim", type=int, default=256,
+                    help="only quantize 2-D kernels with min(shape) >= this "
+                         "(guards tiny classifier heads)")
     args = ap.parse_args()
 
-    state = C.load_pytree(args.training_state)
+    # load_params (not load_pytree): msgpack stringifies layer-list indices;
+    # prune_*_params index params["..."]["layers"] as real lists.
+    state = C.load_params(args.training_state)
     params = state["model"]
     l0_params = state["l0"]
 
-    l0 = build_l0(args.task)
+    l0 = build_l0(args.task, **_l0_kw(args))
     zs = l0.forward_deterministic({"loga": l0_params["loga"]})
     sizes = l0.calculate_model_size(zs)
     print(json.dumps({k: v for k, v in sizes.items() if not isinstance(v, list)}, indent=2))
@@ -64,8 +98,19 @@ def main():
     n_after = count_all_parameters(pruned)
     print(f"params: {n_before:,} -> {n_after:,} ({100 * (1 - n_after / n_before):.1f}% removed)")
 
+    if args.quantize != "none":
+        from efficientvlm_tpu.ops.quant import quantize_params, quantized_bytes
+
+        pruned = jax.tree.map(np.asarray, quantize_params(
+            pruned, mode=args.quantize, min_dim=args.quant_min_dim))
+        b = quantized_bytes(pruned)
+        print(f"int8 {args.quantize}: {b['quantized_bytes']:,} bytes "
+              f"({100 * b['quantized_bytes'] / b['float32_bytes']:.0f}% of float32)")
+
     C.save_pytree(args.out + ".ckpt", pruned)
     print(f"saved {args.out}.ckpt")
+    if args.quantize != "none":
+        return
     try:
         import torch
 

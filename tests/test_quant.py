@@ -104,6 +104,25 @@ def test_vit_quantized_scan_matches_unrolled(vit256):
     )
 
 
+def test_quantized_checkpoint_roundtrip(tmp_path, vit256):
+    """Quantized trees save/load through the msgpack checkpoint path
+    (scripts/export_pruned.py --quantize writes these) bit-exactly."""
+    from efficientvlm_tpu.train.checkpoint import load_params, save_pytree
+
+    cfg, params = vit256
+    qparams = quantize_params(params, mode="w8")
+    path = str(tmp_path / "q.ckpt")
+    save_pytree(path, qparams)
+    restored = load_params(path)
+    for a, b in zip(jax.tree.leaves(qparams), jax.tree.leaves(restored)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    imgs = jax.random.normal(jax.random.PRNGKey(11), (2, 32, 32, 3))
+    got = V.vit_apply(restored, imgs, cfg)["last_hidden"]
+    want = V.vit_apply(qparams, imgs, cfg)["last_hidden"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
 def test_retrieval_forward_quantized_parity():
     """Whole serving unit (image+text encode -> ITC feats + ITM logits)
     quantized end-to-end: features must stay essentially parallel to the
