@@ -316,11 +316,36 @@ def wrap_step_with_preprocess(step, config: Config, *, image_keys=("image",),
     return wrapped
 
 
-def save_full_state(output_dir: str, state, extra: dict, *, tag="latest") -> None:
+_SAVE_EXECUTOR = None
+_PENDING_SAVE = None
+
+
+def wait_for_saves() -> None:
+    """Block until any background checkpoint write has landed (call before
+    process exit or before reading training_state_latest back)."""
+    global _PENDING_SAVE
+    if _PENDING_SAVE is not None:
+        _PENDING_SAVE.result()
+        _PENDING_SAVE = None
+
+
+def save_full_state(output_dir: str, state, extra: dict, *, tag="latest",
+                    background: bool = False) -> None:
     """Persist the COMPLETE training state — params, gates, λ, and all three
     optimizer states — plus driver metadata (epoch/step), mirroring the
     reference's saved dict {model, optimizer, lr_scheduler, epoch}
-    (GeneralDistill.py:420-426)."""
+    (GeneralDistill.py:420-426).
+
+    background=True moves the host fetch + msgpack + disk write onto a
+    single worker thread so the train loop keeps stepping (the periodic
+    mid-epoch saves in drivers/gd.py are the win). Collective gathers
+    (the ZeRO-1 moment replication below) always run on the CALLER thread:
+    in multi-process SPMD every process must issue collectives in the same
+    order, and a background-thread gather racing the next train step's
+    dispatch would reorder them across ranks. JAX arrays are immutable and
+    no step donates its state, so the deferred fetch reads a consistent
+    snapshot. At most one save is in flight — a new one joins the previous
+    first (ordering + bounded host memory)."""
     # ZeRO-1 states carry moments sharded across devices/processes: rank 0
     # cannot host-fetch a non-fully-addressable leaf, so replicate such
     # leaves first (a jit identity with replicated out_sharding gathers
@@ -337,7 +362,21 @@ def save_full_state(output_dir: str, state, extra: dict, *, tag="latest") -> Non
     if get_rank() != 0 or not output_dir:
         return
     path = os.path.join(output_dir, "training_state_latest.ckpt")
-    ckpt_io.save_pytree(path, {"state": state, "extra": extra})
+
+    def _write():
+        ckpt_io.save_pytree(path, {"state": jax.device_get(state), "extra": extra})
+
+    if not background:
+        wait_for_saves()  # never let a stale async write clobber a sync one
+        _write()
+        return
+    global _SAVE_EXECUTOR, _PENDING_SAVE
+    if _SAVE_EXECUTOR is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _SAVE_EXECUTOR = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt-save")
+    wait_for_saves()
+    _PENDING_SAVE = _SAVE_EXECUTOR.submit(_write)
 
 
 def restore_full_state(output_dir: str, template_state):

@@ -168,8 +168,11 @@ def main(args: Config, config: Config) -> dict:
             stream_extra = {"general_stream": _stream_state(general_ds.stream)}
             if region_ds is not None:
                 stream_extra["region_stream"] = _stream_state(region_ds.stream)
+            # background: the periodic full-state write (GBs at real scale)
+            # overlaps the next ckpt_freq steps instead of stalling them
             common.save_full_state(args["output_dir"], state,
-                                   {"step": step + 1, **stream_extra})
+                                   {"step": step + 1, **stream_extra},
+                                   background=True)
             common.log_stats(
                 {"step": step + 1,
                  **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},

@@ -1,5 +1,7 @@
 """Checkpoint import/export parity tests (synthetic torch state dicts)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -138,4 +140,30 @@ elif cmd == "-text":
     restored = C.load_pytree("hdfs://ns/ckpts/run1/model_state_step_3.ckpt")
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored["model"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_background_full_state_save(small_model, tmp_path):
+    """Async save_full_state: the write lands after wait_for_saves and a
+    following sync save joins the pending one (no stale clobber)."""
+    from efficientvlm_tpu.drivers import common
+
+    _, params = small_model
+    out = str(tmp_path)
+    common.save_full_state(out, {"model": params, "v": jnp.float32(1.0)},
+                           {"step": 1}, background=True)
+    common.wait_for_saves()
+    path = os.path.join(out, "training_state_latest.ckpt")
+    payload = C.load_pytree(path)
+    assert payload["extra"]["step"] == 1
+
+    # background then an immediately-following sync save: the sync result wins
+    common.save_full_state(out, {"model": params, "v": jnp.float32(2.0)},
+                           {"step": 2}, background=True)
+    common.save_full_state(out, {"model": params, "v": jnp.float32(3.0)}, {"step": 3})
+    payload = C.load_pytree(path)
+    assert payload["extra"]["step"] == 3
+    assert float(payload["state"]["v"]) == 3.0
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(payload["state"]["model"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
