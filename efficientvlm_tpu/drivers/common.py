@@ -115,6 +115,20 @@ def maybe_load_params(model, args: Config, config: Config, build_fn, **load_kw):
         print(f"### loaded vision tower from {vision_ckpt}")
     ckpt = args.get("checkpoint") or config.get("checkpoint")
     if ckpt and os.path.exists(ckpt):
+        if ckpt.endswith(".ckpt"):
+            # Native msgpack tree — incl. physically-pruned exports whose
+            # per-layer shapes differ (scripts/export_pruned.py output;
+            # reference load_pruned_model, utils/xvlm_utils.py:283-299).
+            # The gated apply fns take per-layer param shapes as-is, so a
+            # pruned tree needs no model rebuild: --evaluate --checkpoint
+            # pruned_student.ckpt serves the sliced (or int8) program.
+            params = ckpt_io.load_params(ckpt)
+            if "state" in params and "model" in params.get("state", {}):
+                params = params["state"]["model"]  # full training state
+            elif "model" in params:
+                params = params["model"]
+            print(f"### loaded native checkpoint from {ckpt}")
+            return params
         sd = ckpt_io.load_torch_state_dict(ckpt)
         vcfg, tcfg = model.vision_cfg, model.text_cfg
         params = ckpt_io.xvlm_params_from_state_dict(
@@ -127,6 +141,17 @@ def maybe_load_params(model, args: Config, config: Config, build_fn, **load_kw):
         )
         print(f"### loaded checkpoint from {ckpt}")
     return params
+
+
+def is_native_checkpoint(args: Config, config: Config) -> bool:
+    """True when --checkpoint points at a native msgpack export
+    (scripts/export_pruned.py). Physically pruned (or quantized) trees
+    already HAVE their gates folded/sliced in — evaluation must run the
+    dense program (zs=None), not re-apply L0 masks sized for the unsliced
+    model (reference: load_pruned_model serves the pruned net with no
+    masks, utils/xvlm_utils.py:283-299)."""
+    ckpt = args.get("checkpoint") or config.get("checkpoint")
+    return bool(ckpt) and str(ckpt).endswith(".ckpt")
 
 
 def save_training_state(output_dir: str, tag, payload: dict) -> None:

@@ -117,7 +117,8 @@ def main(args: Config, config: Config) -> dict:
     )
 
     if args.get("evaluate"):
-        zs = l0.forward_deterministic({"loga": l0_params["loga"]})
+        zs = (None if common.is_native_checkpoint(args, config)
+              else l0.forward_deterministic({"loga": l0_params["loga"]}))
         results = evaluation(student, sparams, test_loader, tokenizer, config, zs=zs)
         merged = collect_result(results, "vqa_result", args.get("output_dir", "/tmp"),
                                 rank=info["rank"], world_size=info["world_size"])

@@ -161,3 +161,48 @@ def test_load_zs_reconstruct_all_towers():
         dzs["decoder_head_z"].sum(axis=-1), dgot["decoder_head_z"].sum(axis=-1))
     np.testing.assert_array_equal(
         dzs["decoder_intermediate_z"].sum(axis=-1), dgot["decoder_intermediate_z"].sum(axis=-1))
+
+
+def test_pruned_ckpt_loads_through_driver_path(tmp_path):
+    """run.py --evaluate --checkpoint pruned_student.ckpt: the native
+    msgpack pruned tree (per-layer shapes differ) loads via
+    common.maybe_load_params and forwards through the scan-default model
+    (scan auto-falls-back to the unrolled path on non-uniform layers)."""
+    from efficientvlm_tpu.config import Config
+    from efficientvlm_tpu.drivers import common
+    from efficientvlm_tpu.models.model_retrieval import XVLMForRetrieval
+    from efficientvlm_tpu.pruning.export import prune_xvlm_params
+    from efficientvlm_tpu.train import checkpoint as C
+
+    vcfg = VisionConfig.create(
+        vision_width=64, num_attention_heads=4, intermediate_size=96,
+        num_hidden_layers=2, image_res=16, patch_size=8, scan_layers=True,
+    )
+    tcfg = TextConfig.create(
+        vocab_size=60, hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=96, encoder_width=64, max_position_embeddings=32,
+        scan_layers=True,
+    )
+    model = XVLMForRetrieval(vcfg, tcfg, Config({"embed_dim": 16}))
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    zs = {
+        "vision_head_z": _binary(rng, (2, 4)),
+        "vision_intermediate_z": _binary(rng, (2, 96)),
+        "text_head_z": _binary(rng, (2, 4)),
+        "text_intermediate_z": _binary(rng, (2, 96)),
+        "cross_head_z": _binary(rng, (2, 2, 4)),
+        "cross_intermediate_z": _binary(rng, (2, 96)),
+    }
+    pruned = prune_xvlm_params(params, zs, fusion_layer=2, head_dim=HEAD_DIM)
+    path = str(tmp_path / "pruned_student.ckpt")
+    C.save_pytree(path, pruned)
+
+    loaded = common.maybe_load_params(
+        model, Config({"checkpoint": path}), Config({}), lambda: model.init(jax.random.PRNGKey(1)))
+    for a, b in zip(jax.tree.leaves(pruned), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # layer 0 lost heads: shapes are per-layer, scan falls back to unrolled
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    out = model.get_vision_embeds(loaded, imgs)[0]
+    assert bool(jnp.isfinite(out).all())
