@@ -1,7 +1,12 @@
 """GeneralDistill driver: stage-1 general distillation pretrain
 (reference GeneralDistill.py): teacher(12L/12L) -> student(6L/6L) over the
 sharded image-text JSONL stream, with region-batch interleave, 0.6/0.4
-task/KD loss mix, step-based checkpointing + resume."""
+task/KD loss mix, step-based checkpointing + resume.
+
+Also serves PLAIN X-VLM pretraining — no teacher, no KD (reference
+run.py:201-208 pretrain_4m_base / pretrain_4m_small -> Pretrain.py) — when
+the task name starts with "pretrain": same stream/region interleave and
+checkpointing, the step is make_pretrain_train_step."""
 
 from __future__ import annotations
 
@@ -17,7 +22,7 @@ from ..data.datasets import PretrainImageTextDataset, RegionTextDataset
 from ..data.tokenizer import build_tokenizer
 from ..models.model_pretrain import XVLMForPretrain
 from ..train import checkpoint as ckpt_io
-from ..train.steps import make_gd_train_step
+from ..train.steps import make_gd_train_step, make_pretrain_train_step
 from ..utils import MetricLogger
 from ..utils.dist import get_rank
 from . import common
@@ -33,14 +38,20 @@ def main(args: Config, config: Config) -> dict:
     info = common.setup(args, config)
     tokenizer = build_tokenizer(config.get("text_encoder", ""))
 
-    student, teacher = build_models(config)
+    # pretrain_* tasks run the SAME loop without a teacher (ref Pretrain.py)
+    distill = not str(args.get("task", "gd_4m_small")).startswith("pretrain")
+    if distill:
+        student, teacher = build_models(config)
+    else:
+        vcfg, tcfg = common.model_configs(config)
+        student, teacher = XVLMForPretrain(vcfg, tcfg, config), None
     sparams = common.maybe_load_params(
         student, args, config, lambda: student.init(jax.random.PRNGKey(0), with_bbox_head=True)
     )
     tparams = common.maybe_load_params(
         teacher, Config({"checkpoint": args.get("teacher_chkpt")}), Config(),
         lambda: teacher.init(jax.random.PRNGKey(1), with_bbox_head=True),
-    )
+    ) if distill else None
 
     # per-device batch (reference per-GPU bs, Pretrain_XVLM_small_4m.yaml
     # images.batch_size=128) × local chips = this host's stream batch
@@ -118,14 +129,16 @@ def main(args: Config, config: Config) -> dict:
 
         return wrapped
 
-    general_step, mesh, _ = common.data_parallel_step(with_device_preprocess(make_gd_train_step(
-        student, teacher, optimizer, teacher_params=None, temperature=temperature,
-        axis_name=axis,
-    )), with_teacher=True)
-    region_step = common.data_parallel_step(make_gd_train_step(
-        student, teacher, optimizer, teacher_params=None, temperature=temperature,
-        with_bbox=True, axis_name=axis,
-    ), with_teacher=True)[0] if region_ds is not None else None
+    def make_step(**kw):
+        if distill:
+            return make_gd_train_step(student, teacher, optimizer, teacher_params=None,
+                                      temperature=temperature, axis_name=axis, **kw)
+        return make_pretrain_train_step(student, optimizer, axis_name=axis, **kw)
+
+    general_step, mesh, _ = common.data_parallel_step(
+        with_device_preprocess(make_step()), with_teacher=True)
+    region_step = common.data_parallel_step(
+        make_step(with_bbox=True), with_teacher=True)[0] if region_ds is not None else None
 
     base_rng = jax.random.PRNGKey(int(args.get("seed", 42)) + info["rank"])
     ckpt_freq = int(config.get("ckpt_frequent_step", 10000))

@@ -211,6 +211,59 @@ def make_gd_train_step(
     return train_step
 
 
+def make_pretrain_train_step(
+    model,
+    optimizer,
+    *,
+    axis_name: Optional[str] = None,
+    with_bbox: bool = False,
+    dtype=None,
+    impl: str = "xla",
+) -> Callable:
+    """One jitted plain X-VLM pretrain step — no teacher, no KD (reference
+    run.py:201-208 pretrain_4m_base / pretrain_4m_small -> Pretrain.py:
+    ITC + ITM + MLM, + bbox/GIoU on region batches). Same state layout as
+    the GD step ((params, opt_state, step)) so the gd driver serves both;
+    the unused teacher_params arg keeps the data_parallel_step signature."""
+
+    def loss_fn(params, batch, rng):
+        fwd_kw = dict(
+            text_ids_masked=batch.get("text_ids_masked"),
+            masked_pos=batch.get("masked_pos"),
+            masked_ids=batch.get("masked_ids"),
+            axis_name=axis_name, dtype=dtype, impl=impl,
+        )
+        if with_bbox:
+            fwd_kw.update(
+                image_atts=batch.get("image_atts"),
+                idx_to_group_img=batch.get("idx_to_group_img"),
+                target_bbox=batch.get("target_bbox"),
+                is_image=batch.get("is_image"),
+                ret_bbox_loss=True,
+            )
+        outputs = model.forward(
+            params, batch["image"], batch["text_ids"], batch["text_atts"],
+            rng=rng, train=True, **fwd_kw,
+        )
+        l = outputs["loss"]
+        loss = l["loss_itc"] + l["loss_itm"] + l["loss_mlm"]
+        if with_bbox:
+            loss = loss + l["loss_bbox"] + l["loss_giou"]
+        return loss, {"loss": loss, **l}
+
+    def train_step(state, batch: dict, rng: Array, teacher_params_arg=None):
+        params, opt_state, step = state
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = clamp_temp(optax.apply_updates(params, updates))
+        return (params, opt_state, step + 1), metrics
+
+    return train_step
+
+
 def _split_text_cross(hidden, attns, fusion_layer):
     """VQA/NLVR KD splits the multi_modal text stack at the fusion boundary
     (Eff_VQA.py:121-135: hidden [:fusion+1]=text, [fusion+1:]=cross outputs;

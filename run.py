@@ -1,6 +1,7 @@
 """CLI launcher with reference task-name parity (reference run.py).
 
-Task router: gd_4m_small / pretrain_4m_small (general distillation),
+Task router: gd_4m_small (general distillation), pretrain_4m_base /
+pretrain_4m_small (plain X-VLM pretraining, no teacher),
 itr_coco (Eff_Retrieval), vqa_480 (Eff_VQA), nlvr / nlvr_domain (Eff_NLVR /
 NLVR domain pretrain), coco_captioning / coco_capt_domain (Eff_Captioning /
 captioning domain pretrain).
@@ -22,6 +23,7 @@ from efficientvlm_tpu.config import Config, load_task_config
 
 TASK_CONFIGS = {
     "gd_4m_small": "configs/Pretrain_XVLM_small_4m.yaml",
+    "pretrain_4m_base": "configs/Pretrain_XVLM_base_clipvit_4m.yaml",
     "pretrain_4m_small": "configs/Pretrain_XVLM_small_4m.yaml",
     "itr_coco": "configs/x-vlm-small-ft/Retrieval_coco.yaml",
     "vqa_480": "configs/x-vlm-small-ft/VQA_480.yaml",
@@ -35,7 +37,7 @@ TASK_CONFIGS = {
 
 def run(args: Config, config: Config):
     task = args["task"]
-    if task in ("gd_4m_small", "pretrain_4m_small"):
+    if task in ("gd_4m_small", "pretrain_4m_small", "pretrain_4m_base"):
         from efficientvlm_tpu.drivers import gd
 
         return gd.main(args, config)

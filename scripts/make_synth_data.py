@@ -61,6 +61,20 @@ def main():
            for i in range(args.n)]
     json.dump(ann, open(os.path.join(d, "ann.json"), "w"))
 
+    # Pretrain JSONL stream (base64-embedded images, one dir of shards)
+    import base64
+    import io
+
+    d = os.path.join(args.root, "synth_pt")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part0.jsonl"), "w") as f:
+        for i in range(args.n):
+            img = Image.fromarray(np.uint8(rng.rand(40, 40, 3) * 255))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            f.write(json.dumps({"binary": base64.b64encode(buf.getvalue()).decode(),
+                                "caption": caption(rng, i)}) + "\n")
+
     # Captioning
     d = os.path.join(args.root, "synth_capt")
     write_images(os.path.join(d, "imgs"), args.n, rng)

@@ -356,3 +356,41 @@ def test_retrieval_driver_split_kd_step(tmp_path, args):
     )
     out = retrieval.main(args, cfg)
     assert "best_r_mean" in out and 0 <= out["best_r_mean"] <= 100
+
+
+def test_plain_pretrain_driver(tmp_path, args):
+    """pretrain_4m_small/base: the gd driver with NO teacher and no KD
+    (reference run.py:201-208 -> Pretrain.py). Loss = ITC+ITM+MLM only."""
+    import base64
+    import io
+
+    from PIL import Image as PILImage
+
+    from efficientvlm_tpu.drivers import gd
+
+    rows = []
+    rng = np.random.RandomState(0)
+    for i in range(12):
+        img = PILImage.fromarray(np.uint8(rng.rand(32, 32, 3) * 255))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        rows.append({"binary": base64.b64encode(buf.getvalue()).decode(),
+                     "caption": f"a photo of dog number {i}"})
+    os.makedirs(tmp_path / "pt", exist_ok=True)
+    with open(tmp_path / "pt" / "part0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "pt")],
+        train_file_regions=None,
+        train_dataset_size=12,
+        images={"image_key": "binary", "is_image_rpath": False, "caption_key": "caption",
+                "batch_size": 1},
+        max_words=12, max_masks=3, mask_prob=0.25,
+        ckpt_frequent_step=2,
+    )
+    args = Config({**args, "max_steps": 2, "task": "pretrain_4m_small"})
+    out = gd.main(args, cfg)
+    assert int(out["state"][2]) == 2
+    assert os.path.exists(os.path.join(args["output_dir"], "training_state_latest.ckpt"))
