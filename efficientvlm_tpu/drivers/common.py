@@ -84,10 +84,15 @@ def teacher_configs(config: Config) -> Tuple[VisionConfig, TextConfig]:
 def build_optimizers(params, config: Config, total_steps: int, *, init_param_paths=()):
     opt_cfg = config.get("optimizer", Config())
     sched_cfg = config.get("schedular", Config())
+    # gradient accumulation (reference accelerator GRAD_ACCUMULATE_STEPS,
+    # apex accelerator): optax.MultiSteps accumulates k micro-batch grads
+    # and applies one real update — the schedule runs in UPDATE counts, so
+    # its horizon shrinks by k. The inner AdamW/clip chain is unchanged.
+    accum = int(config.get("accelerator", {}).get("GRAD_ACCUMULATE_STEPS", 1) or 1)
     sched = create_scheduler(
         lr=float(opt_cfg.get("lr", 1e-4)),
-        num_training_steps=total_steps,
-        num_warmup_steps=sched_cfg.get("num_warmup_steps", 0),
+        num_training_steps=max(total_steps // accum, 1),
+        num_warmup_steps=int(sched_cfg.get("num_warmup_steps", 0)) // accum,
     )
     main = create_optimizer(
         params,
@@ -98,7 +103,17 @@ def build_optimizers(params, config: Config, total_steps: int, *, init_param_pat
         grad_clip=float(config.get("accelerator", {}).get("CLIP_GRAD_NORM", 1.0) or 0) or None,
     )
     reg_lr = float(opt_cfg.get("reg_learning_rate", 0.01))
-    return main, create_l0_optimizer(reg_lr=reg_lr), create_lagrangian_optimizer(reg_lr=reg_lr)
+    l0_opt = create_l0_optimizer(reg_lr=reg_lr)
+    lag_opt = create_lagrangian_optimizer(reg_lr=reg_lr)
+    if accum > 1:
+        import optax
+
+        # all three optimizers accumulate on the SAME cadence so gates/λ
+        # never step against a stale set of main-params micro-updates
+        main = optax.MultiSteps(main, every_k_schedule=accum)
+        l0_opt = optax.MultiSteps(l0_opt, every_k_schedule=accum)
+        lag_opt = optax.MultiSteps(lag_opt, every_k_schedule=accum)
+    return main, l0_opt, lag_opt
 
 
 def maybe_load_params(model, args: Config, config: Config, build_fn, **load_kw):

@@ -101,3 +101,35 @@ def test_io_shims(tmp_path):
     hcopy(str(p / "x.txt"), str(p / "y.txt"))
     files = hlist_files([str(p)])
     assert len(files) == 2
+
+
+def test_grad_accumulation_matches_big_batch():
+    """accelerator.GRAD_ACCUMULATE_STEPS=k (optax.MultiSteps in
+    build_optimizers): k micro-batch steps == one k-times-larger-batch step
+    for a linear model with SGD-like semantics; with AdamW the UPDATE only
+    fires every k micro-steps and params are frozen in between."""
+    from efficientvlm_tpu.drivers.common import build_optimizers
+
+    params = {"w": jnp.ones((4, 4))}
+    cfg = Config({
+        "optimizer": {"lr": 1e-2, "weight_decay": 0.0},
+        "schedular": {"num_warmup_steps": 0},
+        "accelerator": {"GRAD_ACCUMULATE_STEPS": 2, "CLIP_GRAD_NORM": 0},
+    })
+    opt, _, _ = build_optimizers(params, cfg, total_steps=8)
+    state = opt.init(params)
+    g1 = {"w": jnp.full((4, 4), 0.5)}
+    g2 = {"w": jnp.full((4, 4), 1.5)}
+
+    up1, state = opt.update(g1, state, params)
+    # mid-accumulation: no real update yet
+    assert float(jnp.abs(up1["w"]).max()) == 0.0
+    up2, state = opt.update(g2, state, params)
+    assert float(jnp.abs(up2["w"]).max()) > 0.0
+
+    # the applied update equals one AdamW step on the micro-batch MEAN grad
+    cfg1 = Config({**cfg.to_dict(), "accelerator": {"GRAD_ACCUMULATE_STEPS": 1, "CLIP_GRAD_NORM": 0}})
+    ref_opt, _, _ = build_optimizers(params, cfg1, total_steps=4)
+    ref_state = ref_opt.init(params)
+    ref_up, _ = ref_opt.update({"w": (g1["w"] + g2["w"]) / 2}, ref_state, params)
+    np.testing.assert_allclose(np.asarray(up2["w"]), np.asarray(ref_up["w"]), rtol=1e-5, atol=1e-7)
