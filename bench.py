@@ -129,6 +129,26 @@ def phase_pruned(sparsity=0.25):
                       "sparsity": sparsity, "realized_sparsity": realized}))
 
 
+def phase_pruned_int8(sparsity=0.25, mode="w8a8"):
+    """The 0.25-pruned student served int8 (ops/quant.py): s8xs8->s32 dots
+    run at 2x the bf16 MXU rate on v5e and weights stream 1 byte/param.
+    Uses impl='xla' — the quantized dense format dispatches inside
+    ops.basic.dense; the Pallas fused layer kernel stays bf16-only."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_prune_probe import aligned_zs
+
+    from efficientvlm_tpu.ops.quant import quantize_params
+    from efficientvlm_tpu.pruning.export import prune_xvlm_params
+
+    model, params = build(6, 6)
+    zs = aligned_zs(sparsity)
+    zs.pop("__realized_sparsity__")
+    params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
+    params = quantize_params(_cast_bf16(params), mode=mode)  # scales stay f32
+    print(json.dumps({"tput": bench_model(model, params, impl="xla"),
+                      "mode": mode, "sparsity": sparsity}))
+
+
 def build_vqa(num_layers, image_res=480):
     import jax
 
@@ -277,7 +297,8 @@ def main():
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
         {"teacher": phase_teacher, "student": phase_student,
-         "pruned": phase_pruned, "vqa_teacher": phase_vqa_teacher,
+         "pruned": phase_pruned, "pruned_int8": phase_pruned_int8,
+         "vqa_teacher": phase_vqa_teacher,
          "pruned_vqa": phase_pruned_vqa,
          "caption_teacher": phase_caption_teacher,
          "pruned_caption": phase_pruned_caption}[phase]()
@@ -286,6 +307,11 @@ def main():
     teacher = _run_phase("teacher")["tput"]
     student = _run_phase("student")["tput"]
     pruned = _run_phase("pruned")["tput"]
+    pruned_int8 = None
+    try:
+        pruned_int8 = _run_phase("pruned_int8").get("tput")
+    except Exception as e:
+        print(f"### int8 phase failed: {e}", file=sys.stderr)
     pruned_vqa = vqa_teacher = None
     try:
         pruned_vqa = _run_phase("pruned_vqa", timeout=1500).get("tput")
@@ -332,6 +358,9 @@ def main():
         "student_dense_pairs_per_sec": round(student, 2),
         "pruned_sparsity": 0.25,
         "student_vs_teacher": round(student / teacher, 3),
+        "pruned_int8_pairs_per_sec": round(pruned_int8, 2) if pruned_int8 else None,
+        "pruned_int8_vs_teacher": (
+            round(pruned_int8 / teacher, 3) if pruned_int8 else None),
         "kd_step_ms_b16_224px": kd_ms,
         "pruned_vqa_480_q_per_sec": round(pruned_vqa, 2) if pruned_vqa else None,
         "vqa_teacher_q_per_sec": round(vqa_teacher, 2) if vqa_teacher else None,

@@ -161,3 +161,36 @@ def test_retrieval_forward_quantized_parity():
     got = jax.jit(forward)(qparams)
     for r, g, name in zip(ref, got, ("image_feat", "text_feat", "itm")):
         assert _cos(r, g) > 0.98, (name, _cos(r, g))
+
+
+def test_quantized_beam_decode():
+    """w8 (weight-only) int8 serving on the captioning decode hot path: the
+    KV-cached jittable beam search runs over quantized params (dense
+    dispatches on the param-dict keys inside the decode loop) and the
+    per-position LM logits track the float program."""
+    from efficientvlm_tpu.models.model_generation import XVLMForCaptioning
+
+    vcfg = VisionConfig.create(
+        vision_width=256, num_attention_heads=4, intermediate_size=512,
+        num_hidden_layers=2, image_res=32, patch_size=8,
+    )
+    tcfg = TextConfig.create(
+        vocab_size=200, hidden_size=256, num_hidden_layers=2, fusion_layer=1,
+        num_attention_heads=4, intermediate_size=512, encoder_width=256,
+        max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = XVLMForCaptioning(vcfg, tcfg, Config({}))
+    params = model.init(jax.random.PRNGKey(0))
+    qparams = quantize_params(params, mode="w8")
+
+    image = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    prompt = jnp.asarray([[101, 7]] * 2, jnp.int32)
+
+    out_f = model.generate(params, image, prompt, num_beams=2, max_length=8,
+                           min_length=2, eos_id=102, pad_id=0)
+    out_q = jax.jit(lambda p: model.generate(
+        p, image, prompt, num_beams=2, max_length=8, min_length=2,
+        eos_id=102, pad_id=0))(qparams)
+    assert out_q.shape == out_f.shape
+    assert int(out_q.max()) < 200 and int(out_q.min()) >= 0
