@@ -1,0 +1,204 @@
+"""Differential numerics vs the REFERENCE torch implementation.
+
+The strongest checkpoint-parity evidence possible (SURVEY §7 hard part #1):
+instantiate the reference's own torch modules (/root/reference/models) with
+tiny configs, export their state_dicts through OUR import remaps
+(train/checkpoint.py), and assert the JAX forward reproduces the torch
+forward on identical inputs to float tolerance.
+
+Skipped wholesale when /root/reference (or its torch-era deps) is absent —
+these tests document parity, the rest of the suite never needs the
+reference checkout.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "models")),
+    reason="reference checkout not available",
+)
+
+
+def _load_ref(name: str, filename: str):
+    """Load a reference module file directly (the models/ package __init__
+    pulls in torchvision, which this image lacks), shimming the
+    transformers-4.12-era names xbert.py imports from modeling_utils."""
+    import transformers.modeling_utils as MU
+    import transformers.pytorch_utils as PU
+
+    for attr in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices",
+                 "prune_linear_layer"):
+        if not hasattr(MU, attr):
+            setattr(MU, attr, getattr(PU, attr))
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REFERENCE, "models", filename))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _sd_numpy(module) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def test_vit_matches_reference_torch():
+    """clip_vit.CLIPVisionTransformer == our vit_apply on identical weights
+    (import remap vit_params_from_state_dict, ref clip_vit.py:336-394)."""
+    import torch
+
+    import jax
+    from efficientvlm_tpu.config import VisionConfig
+    from efficientvlm_tpu.models import vit as V
+    from efficientvlm_tpu.train import checkpoint as C
+
+    clip_vit = _load_ref("ref_clip_vit", "clip_vit.py")
+    torch.manual_seed(0)
+    ref = clip_vit.CLIPVisionTransformer(
+        32, 8, 64, "quick_gelu", 4, 0.0, 128, 2, local_attn_depth=0).eval()
+
+    params = C.vit_params_from_state_dict(_sd_numpy(ref), 2, num_patches=16)
+    cfg = VisionConfig.create(
+        vision_width=64, num_attention_heads=4, intermediate_size=128,
+        num_hidden_layers=2, image_res=32, patch_size=8, hidden_act="quick_gelu",
+    )
+
+    x = np.random.RandomState(1).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))[0].numpy()
+    got = np.asarray(V.vit_apply(
+        params, np.transpose(x, (0, 2, 3, 1)), cfg)["last_hidden"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+def test_bert_matches_reference_torch():
+    """xbert.BertModel (text / fusion / multi_modal modes incl. cross
+    attention over image states) == our bert_apply on identical weights
+    (import remap bert_params_from_state_dict, ref xbert.py:853-1010)."""
+    import torch
+
+    import jax.numpy as jnp
+    from efficientvlm_tpu.config import TextConfig
+    from efficientvlm_tpu.models import bert as B
+    from efficientvlm_tpu.train import checkpoint as C
+
+    xbert = _load_ref("ref_xbert", "xbert.py")
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    torch.manual_seed(0)
+    rcfg = BertConfig(
+        vocab_size=60, hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=96, max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    rcfg.fusion_layer = 2
+    rcfg.encoder_width = 64
+    ref = xbert.BertModel(rcfg, add_pooling_layer=False).eval()
+
+    params = C.bert_params_from_state_dict(
+        _sd_numpy(ref), 4, 2, with_mlm_head=False)
+    cfg = TextConfig.create(
+        vocab_size=60, hidden_size=64, num_hidden_layers=4, fusion_layer=2,
+        num_attention_heads=4, intermediate_size=96, encoder_width=64,
+        max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+    rng = np.random.RandomState(2)
+    ids = rng.randint(0, 60, (2, 8)).astype(np.int64)
+    atts = np.ones((2, 8), np.int64)
+    enc = rng.randn(2, 17, 64).astype(np.float32)
+    enc_atts = np.ones((2, 17), np.int64)
+
+    with torch.no_grad():
+        t_text = ref(torch.from_numpy(ids), attention_mask=torch.from_numpy(atts),
+                     mode="text").last_hidden_state.numpy()
+        t_fused = ref(encoder_embeds=torch.from_numpy(t_text),
+                      attention_mask=torch.from_numpy(atts),
+                      encoder_hidden_states=torch.from_numpy(enc),
+                      encoder_attention_mask=torch.from_numpy(enc_atts),
+                      mode="fusion").last_hidden_state.numpy()
+        t_mm = ref(torch.from_numpy(ids), attention_mask=torch.from_numpy(atts),
+                   encoder_hidden_states=torch.from_numpy(enc),
+                   encoder_attention_mask=torch.from_numpy(enc_atts),
+                   mode="multi_modal").last_hidden_state.numpy()
+
+    o_text = np.asarray(B.bert_apply(
+        params, jnp.asarray(ids), cfg, attention_mask=jnp.asarray(atts),
+        mode="text")["last_hidden"])
+    np.testing.assert_allclose(o_text, t_text, rtol=1e-4, atol=2e-5)
+
+    o_fused = np.asarray(B.bert_apply(
+        params, None, cfg, inputs_embeds=jnp.asarray(t_text),
+        attention_mask=jnp.asarray(atts), encoder_hidden=jnp.asarray(enc),
+        encoder_attention_mask=jnp.asarray(enc_atts),
+        mode="fusion")["last_hidden"])
+    np.testing.assert_allclose(o_fused, t_fused, rtol=1e-4, atol=2e-5)
+
+    o_mm = np.asarray(B.bert_apply(
+        params, jnp.asarray(ids), cfg, attention_mask=jnp.asarray(atts),
+        encoder_hidden=jnp.asarray(enc), encoder_attention_mask=jnp.asarray(enc_atts),
+        mode="multi_modal")["last_hidden"])
+    np.testing.assert_allclose(o_mm, t_mm, rtol=1e-4, atol=2e-5)
+
+
+def test_causal_decoder_matches_reference_torch():
+    """xbert.BertLMHeadModel (causal mask + cross attention + tied-decoder
+    MLM head — the captioning/VQA decode unit, ref xbert.py:1242-1360) ==
+    our bert_apply(is_decoder=True) + mlm_head_apply on identical weights."""
+    import torch
+
+    import jax.numpy as jnp
+    from efficientvlm_tpu.config import TextConfig
+    from efficientvlm_tpu.models import bert as B
+    from efficientvlm_tpu.train import checkpoint as C
+
+    xbert = _load_ref("ref_xbert_lm", "xbert.py")
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    torch.manual_seed(3)
+    rcfg = BertConfig(
+        vocab_size=60, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=96, max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    rcfg.fusion_layer = 0  # all-cross decoder stack (VQA decoder layout)
+    rcfg.encoder_width = 64
+    ref = xbert.BertLMHeadModel(rcfg).eval()
+
+    sd = _sd_numpy(ref)
+    params = C.bert_params_from_state_dict(sd, 2, 0, with_mlm_head=True)
+    cfg = TextConfig.create(
+        vocab_size=60, hidden_size=64, num_hidden_layers=2, fusion_layer=0,
+        num_attention_heads=4, intermediate_size=96, encoder_width=64,
+        max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+    rng = np.random.RandomState(4)
+    ids = rng.randint(0, 60, (2, 6)).astype(np.int64)
+    atts = np.ones((2, 6), np.int64)
+    enc = rng.randn(2, 9, 64).astype(np.float32)
+    enc_atts = np.ones((2, 9), np.int64)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids), attention_mask=torch.from_numpy(atts),
+                   encoder_hidden_states=torch.from_numpy(enc),
+                   encoder_attention_mask=torch.from_numpy(enc_atts),
+                   is_decoder=True, return_logits=True).numpy()
+
+    out = B.bert_apply(
+        params, jnp.asarray(ids), cfg, attention_mask=jnp.asarray(atts),
+        encoder_hidden=jnp.asarray(enc), encoder_attention_mask=jnp.asarray(enc_atts),
+        mode="multi_modal", is_decoder=True)
+    got = np.asarray(B.mlm_head_apply(params["cls"], out["last_hidden"], cfg))
+    # return_logits=True drops the final position (next-token shift,
+    # xbert.py BertLMHeadModel.forward: prediction_scores[:, :-1, :])
+    np.testing.assert_allclose(got[:, :-1], want, rtol=1e-4, atol=2e-5)
