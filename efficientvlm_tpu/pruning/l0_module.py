@@ -61,7 +61,8 @@ class L0Module:
         self.start_sparsity = start_sparsity
         self.target_sparsity = target_sparsity
         self.prunable_model_size = sum(
-            g["params_per_dim"] * int(np.prod(g["shape"])) for g in groups.values()
+            g.get("prunable_params", g["params_per_dim"] * int(np.prod(g["shape"])))
+            for g in groups.values()
         )
 
     # -- params ---------------------------------------------------------------
@@ -172,6 +173,10 @@ def _bert_sizes(hidden_size=768, intermediate_size=3072, num_heads=12):
     return params_per_head, params_per_int
 
 
+def _mlp_layer_params(hidden_size, intermediate_size):
+    return hidden_size * intermediate_size * 2 + hidden_size + hidden_size * 4
+
+
 def _interleave_to_pairs(z):
     """[2L, H] interleaved self/cross rows -> [L, 2, H]."""
     return z.reshape(-1, 2, z.shape[-1])
@@ -193,8 +198,17 @@ def _head_group(L, H, pph, group: int = 1):
     return g
 
 
-def _int_group(L, I, ppi):
-    return dict(shape=(L, I), params_per_dim=ppi, init_mean=None)
+def _int_group(L, I, ppi, layer_params=None):
+    # prunable_params: the reference counts the FULL per-layer mlp params
+    # in prunable_model_size (params_per_mlp_layer * L, including the
+    # integer-division remainder ppi*I loses), while expected-size scoring
+    # uses the floored per-dim value — match it exactly so expected_sparsity
+    # and the Lagrangian agree to float precision (modal_l0_module.py:
+    # initialize_structured_mlp prunable += params_per_mlp_layer * L).
+    g = dict(shape=(L, I), params_per_dim=ppi, init_mean=None)
+    if layer_params is not None:
+        g["prunable_params"] = layer_params * L
+    return g
 
 
 def _cross_emit(group: int):
@@ -231,9 +245,12 @@ def XVLML0Module(
         "text_head": _head_group(text_layers, num_heads, pph, head_group),
         "cross_head": {**_head_group(cross_layers * 2, num_heads, pph, head_group),
                        "emit": _cross_emit(head_group)},
-        "vision_intermediate": _int_group(vision_layers, v_int, vppi),
-        "text_intermediate": _int_group(text_layers, intermediate_size, ppi),
-        "cross_intermediate": _int_group(cross_layers, intermediate_size, ppi),
+        "vision_intermediate": _int_group(vision_layers, v_int, vppi,
+                                          _mlp_layer_params(v_hidden, v_int)),
+        "text_intermediate": _int_group(text_layers, intermediate_size, ppi,
+                                        _mlp_layer_params(hidden_size, intermediate_size)),
+        "cross_intermediate": _int_group(cross_layers, intermediate_size, ppi,
+                                         _mlp_layer_params(hidden_size, intermediate_size)),
     }
     return L0Module(groups, **kw)
 
@@ -269,10 +286,16 @@ def VQAL0Module(
                        "emit": _cross_emit(head_group)},
         "decoder_head": {**_head_group(decoder_layers * 2, num_heads, pph, head_group),
                          "emit": _cross_emit(head_group)},
-        "vision_intermediate": _int_group(vision_layers, vision_intermediate_size or intermediate_size, vppi),
-        "text_intermediate": _int_group(text_layers, intermediate_size, ppi),
-        "cross_intermediate": _int_group(cross_layers, intermediate_size, ppi),
-        "decoder_intermediate": _int_group(decoder_layers, intermediate_size, ppi),
+        "vision_intermediate": _int_group(
+            vision_layers, vision_intermediate_size or intermediate_size, vppi,
+            _mlp_layer_params(vision_hidden_size or hidden_size,
+                              vision_intermediate_size or intermediate_size)),
+        "text_intermediate": _int_group(text_layers, intermediate_size, ppi,
+                                        _mlp_layer_params(hidden_size, intermediate_size)),
+        "cross_intermediate": _int_group(cross_layers, intermediate_size, ppi,
+                                         _mlp_layer_params(hidden_size, intermediate_size)),
+        "decoder_intermediate": _int_group(decoder_layers, intermediate_size, ppi,
+                                           _mlp_layer_params(hidden_size, intermediate_size)),
     }
     return L0Module(groups, **kw)
 
@@ -283,7 +306,8 @@ def _single_modal_module(num_layers: int, *, hidden_size=768, intermediate_size=
     p = f"{prefix}_" if prefix else ""
     groups = {
         f"{p}head": _head_group(num_layers, num_heads, pph),
-        f"{p}intermediate": _int_group(num_layers, intermediate_size, ppi),
+        f"{p}intermediate": _int_group(num_layers, intermediate_size, ppi,
+                                       _mlp_layer_params(hidden_size, intermediate_size)),
     }
     if with_head_layer:
         groups[f"{p}head_layer"] = dict(shape=(num_layers, 1), params_per_dim=pph * num_heads, init_mean=10.0)
@@ -306,7 +330,8 @@ def CrossL0Module(num_layers: int, *, hidden_size=768, intermediate_size=3072, n
     pph, ppi = _bert_sizes(hidden_size, intermediate_size, num_heads)
     groups = {
         "cross_head": {**_head_group(num_layers * 2, num_heads, pph), "emit": _interleave_to_pairs},
-        "cross_intermediate": _int_group(num_layers, intermediate_size, ppi),
+        "cross_intermediate": _int_group(num_layers, intermediate_size, ppi,
+                                         _mlp_layer_params(hidden_size, intermediate_size)),
     }
     return L0Module(groups, **kw)
 
