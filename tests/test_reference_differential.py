@@ -263,3 +263,59 @@ def test_l0_module_matches_reference_torch():
     r_int = (ref_zs["intermediate_z"].reshape(L, I).numpy() > 0).sum(-1).tolist()
     assert o_sizes["vision_head_nums"] == r_head
     assert o_sizes["vision_intermediate_nums"] == r_int
+
+
+def test_box_ops_and_scheduler_match_reference():
+    """GIoU math (ref models/box_ops.py, torchvision box_area stubbed) and
+    the linear warmup/decay LR curve (ref scheduler.py lr_lambda) match."""
+    import types
+
+    import torch
+
+    # box_ops imports torchvision.ops.boxes.box_area — stub the one symbol
+    tv = types.ModuleType("torchvision")
+    tv_ops = types.ModuleType("torchvision.ops")
+    tv_boxes = types.ModuleType("torchvision.ops.boxes")
+
+    def _box_area(b):
+        return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+    tv_boxes.box_area = _box_area
+    tv_ops.boxes = tv_boxes
+    tv.ops = tv_ops
+    for m in (tv, tv_ops, tv_boxes):
+        m.__spec__ = importlib.util.spec_from_loader(m.__name__, loader=None)
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.ops", tv_ops)
+    sys.modules.setdefault("torchvision.ops.boxes", tv_boxes)
+    ref_box = _load_ref("ref_box_ops", "box_ops.py")
+
+    from efficientvlm_tpu.models import box_ops as B
+
+    rng = np.random.RandomState(5)
+    cxcywh = np.stack([rng.uniform(0.3, 0.7, 6), rng.uniform(0.3, 0.7, 6),
+                       rng.uniform(0.05, 0.3, 6), rng.uniform(0.05, 0.3, 6)], -1
+                      ).astype(np.float32)
+    xyxy_t = ref_box.box_cxcywh_to_xyxy(torch.from_numpy(cxcywh))
+    xyxy_o = np.asarray(B.box_cxcywh_to_xyxy(cxcywh))
+    np.testing.assert_allclose(xyxy_o, xyxy_t.numpy(), rtol=1e-6)
+
+    giou_t = ref_box.generalized_box_iou(xyxy_t, xyxy_t.flip(0)).numpy()
+    giou_o = np.asarray(B.generalized_box_iou(xyxy_o, xyxy_o[::-1]))
+    np.testing.assert_allclose(giou_o, giou_t, rtol=1e-5, atol=1e-6)
+
+    # linear warmup/decay: evaluate both schedules across the horizon
+    from efficientvlm_tpu.train.scheduler import create_scheduler
+
+    total, warm, lr = 50, 10, 3e-4
+    sched = create_scheduler(lr=lr, num_training_steps=total, num_warmup_steps=warm)
+
+    def ref_lambda(step):
+        if step < warm:
+            return step / max(1, warm)
+        return max(0.0, (total - step) / max(1, total - warm))
+
+    for step in (0, 1, 5, 9, 10, 11, 30, 49, 50):
+        np.testing.assert_allclose(
+            float(sched(step)), lr * ref_lambda(step), rtol=1e-6,
+            err_msg=f"step {step}")
