@@ -319,3 +319,105 @@ def test_box_ops_and_scheduler_match_reference():
         np.testing.assert_allclose(
             float(sched(step)), lr * ref_lambda(step), rtol=1e-6,
             err_msg=f"step {step}")
+
+
+def test_xvlm_losses_match_reference_torch():
+    """XVLMBase.get_contrastive_loss (incl. the idx soft-label variant) and
+    get_bbox_loss == ours on identical features (ref models/xvlm.py:435-467,
+    587-612). Loads the reference xvlm module with a fake 'models' package
+    (skips the torchvision-importing __init__) and timm/utils stubs; the
+    reference AllGather runs under a 1-process gloo group."""
+    import socket
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    import jax.numpy as jnp
+
+    # --- stubs: timm (vit/swin imports), utils.read_json, models package ---
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.util.spec_from_loader(name, loader=None)
+        return m
+
+    timm, timm_models = _mod("timm"), _mod("timm.models")
+    vt, reg, layers = (_mod("timm.models.vision_transformer"),
+                       _mod("timm.models.registry"), _mod("timm.models.layers"))
+    vt._cfg = lambda url="", **kw: {"url": url, **kw}
+
+    class PatchEmbed(nn.Module):
+        pass
+
+    class DropPath(nn.Module):
+        def forward(self, x):
+            return x
+
+    vt.PatchEmbed = PatchEmbed
+    reg.register_model = lambda f: f
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+    layers.DropPath = DropPath
+    for m in (timm, timm_models, vt, reg, layers):
+        sys.modules.setdefault(m.__name__, m)
+
+    um = _mod("utils")
+    um.read_json = lambda p: __import__("json").load(open(p))
+    sys.modules.setdefault("utils", um)
+
+    tv, tv_ops, tv_boxes = (_mod("torchvision"), _mod("torchvision.ops"),
+                            _mod("torchvision.ops.boxes"))
+    tv_boxes.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    tv_ops.boxes = tv_boxes
+    tv.ops = tv_ops
+    for m in (tv, tv_ops, tv_boxes):
+        sys.modules.setdefault(m.__name__, m)
+
+    models_pkg = _mod("models")
+    models_pkg.__path__ = [os.path.join(REFERENCE, "models")]
+    sys.modules.setdefault("models", models_pkg)
+    _load_ref("_shim", "clip_vit.py")  # applies the transformers shims
+
+    import importlib as _il
+
+    ref_xvlm = _il.import_module("models.xvlm")
+
+    if not torch.distributed.is_initialized():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        torch.distributed.init_process_group(
+            "gloo", init_method=f"tcp://127.0.0.1:{port}", rank=0, world_size=1)
+
+    from efficientvlm_tpu.models.xvlm import XVLM
+
+    rng = np.random.RandomState(6)
+    img = rng.randn(6, 16).astype(np.float32)
+    txt = rng.randn(6, 16).astype(np.float32)
+    img /= np.linalg.norm(img, axis=-1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+    idx = np.array([0, 1, 1, 2, 3, 3])
+
+    fake_self = types.SimpleNamespace(embed_dim=16, temp=torch.tensor(0.07))
+    params = {"temp": jnp.asarray(0.07)}
+
+    for use_idx in (False, True):
+        want = ref_xvlm.XVLMBase.get_contrastive_loss(
+            fake_self, torch.from_numpy(img), torch.from_numpy(txt),
+            idx=torch.from_numpy(idx) if use_idx else None).item()
+        got = float(XVLM.get_contrastive_loss(
+            None, params, jnp.asarray(img), jnp.asarray(txt),
+            idx=jnp.asarray(idx) if use_idx else None))
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"idx={use_idx}")
+
+    coords = rng.uniform(0.3, 0.6, (5, 4)).astype(np.float32)
+    targets = rng.uniform(0.3, 0.6, (5, 4)).astype(np.float32)
+    is_image = np.array([0, 1, 0, 0, 1], np.float32)
+    w_bbox, w_giou = ref_xvlm.XVLMBase.get_bbox_loss(
+        None, torch.from_numpy(coords), torch.from_numpy(targets),
+        is_image=torch.from_numpy(is_image))
+    o_bbox, o_giou = XVLM.get_bbox_loss(
+        None, jnp.asarray(coords), jnp.asarray(targets), is_image=jnp.asarray(is_image))
+    np.testing.assert_allclose(float(o_bbox), w_bbox.item(), rtol=1e-5)
+    np.testing.assert_allclose(float(o_giou), w_giou.item(), rtol=1e-5)
