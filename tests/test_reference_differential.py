@@ -421,3 +421,69 @@ def test_xvlm_losses_match_reference_torch():
         None, jnp.asarray(coords), jnp.asarray(targets), is_image=jnp.asarray(is_image))
     np.testing.assert_allclose(float(o_bbox), w_bbox.item(), rtol=1e-5)
     np.testing.assert_allclose(float(o_giou), w_giou.item(), rtol=1e-5)
+
+
+def test_text_normalization_matches_reference():
+    """pre_caption/pre_question (ref dataset/utils.py:17-52, extracted via
+    ast so the module's heavy import chain never runs) and the VQA answer
+    normalization protocol (ref vqaTools/vqaEval.py processPunctuation /
+    processDigitArticle) produce identical strings."""
+    import ast
+    import re as _re
+
+    from efficientvlm_tpu.data.utils import pre_caption, pre_question
+    from efficientvlm_tpu.evaluation.vqa import (
+        process_digit_article, process_punctuation,
+    )
+
+    # -- pre_caption / pre_question: execute just those two defs --
+    src = open(os.path.join(REFERENCE, "dataset", "utils.py")).read()
+    tree = ast.parse(src)
+    wanted = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+              and n.name in ("pre_caption", "pre_question")]
+    ns = {"re": _re}
+    exec(compile(ast.Module(body=wanted, type_ignores=[]), "ref_utils", "exec"), ns)
+
+    captions = [
+        "A man, riding a horse!  (on the beach)",
+        "THE QUICK-BROWN fox's jump; over * the lazy dog " * 4,
+        'a "quoted" sentence... with  extra   spaces\nand a newline',
+    ]
+    for c in captions:
+        assert pre_caption(c, 30) == ns["pre_caption"](c, 30), c
+        assert pre_caption(c, 5) == ns["pre_caption"](c, 5), c
+        assert pre_question(c, 25) == ns["pre_question"](c, 25), c
+
+    # -- VQA normalization: load the real vqaEval.py (imports sys/re only).
+    # __init__ needs live vqa objects before it defines the normalization
+    # tables, so build the instance with __new__ and execute only the
+    # constant self.<table> = {...} assignments from __init__'s body --
+    spec = importlib.util.spec_from_file_location(
+        "ref_vqa_eval", os.path.join(REFERENCE, "vqaTools", "vqaEval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ve = mod.VQAEval.__new__(mod.VQAEval)
+    src_ve = open(os.path.join(REFERENCE, "vqaTools", "vqaEval.py")).read()
+    init_def = next(
+        n for cls in ast.parse(src_ve).body if isinstance(cls, ast.ClassDef)
+        for n in cls.body if isinstance(n, ast.FunctionDef) and n.name == "__init__")
+    # run each assignment in isolation; the vqa-object-dependent ones fail
+    # harmlessly, the normalization tables and compiled regexes land
+    for n in init_def.body:
+        if not isinstance(n, ast.Assign):
+            continue
+        try:
+            exec(compile(ast.Module(body=[n], type_ignores=[]),
+                         "ref_vqa_tables", "exec"), {"re": _re}, {"self": ve})
+        except Exception:
+            pass
+
+    answers = [
+        "it's a dog.", "Two, maybe three", "a orange; cat", "20 dollars",
+        "won't don't can't", "the answer is: forty two (42)", "none",
+        "semi-colon;test", "1,000,000 dollars", "an apple a day",
+    ]
+    for a in answers:
+        want = ve.processDigitArticle(ve.processPunctuation(a.replace("\n", " ").replace("\t", " ").strip()))
+        got = process_digit_article(process_punctuation(a.replace("\n", " ").replace("\t", " ").strip()))
+        assert got == want, (a, got, want)
