@@ -487,3 +487,70 @@ def test_text_normalization_matches_reference():
         want = ve.processDigitArticle(ve.processPunctuation(a.replace("\n", " ").replace("\t", " ").strip()))
         got = process_digit_article(process_punctuation(a.replace("\n", " ").replace("\t", " ").strip()))
         assert got == want, (a, got, want)
+
+
+def test_kd_losses_match_reference():
+    """The GD KD menu (ref GeneralDistill.py:60-104: get_kd_loss with the
+    -1e2 attention filtering and last-dim scaling, the is_img layer-6 drop,
+    soft_cross_entropy KL, get_cor_teacher 12->6 layer mapping) matches
+    train/distill.py numerically. Functions extracted via ast (the module's
+    top level builds an argparse/apex training script)."""
+    import ast
+
+    import torch
+    from torch.nn import KLDivLoss, MSELoss
+
+    import jax.numpy as jnp
+    from efficientvlm_tpu.train import distill as D
+
+    src = open(os.path.join(REFERENCE, "GeneralDistill.py")).read()
+    wanted = [n for n in ast.parse(src).body if isinstance(n, ast.FunctionDef)
+              and n.name in ("get_kd_loss", "soft_cross_entropy", "get_cor_teacher")]
+    ns = {"torch": torch, "KLDivLoss": KLDivLoss}
+    exec(compile(ast.Module(body=wanted, type_ignores=[]), "ref_gd", "exec"), ns)
+
+    rng = np.random.RandomState(8)
+    # 13 hidden states (12 layers + embeddings) -> student 7; attn 12 -> 6
+    t_hidden = [rng.randn(2, 5, 16).astype(np.float32) for _ in range(13)]
+    s_hidden = [rng.randn(2, 5, 16).astype(np.float32) for _ in range(7)]
+    t_attn = [rng.randn(2, 4, 5, 5).astype(np.float32) for _ in range(12)]
+    s_attn = [rng.randn(2, 4, 5, 5).astype(np.float32) for _ in range(6)]
+    # mark some attention entries as masked (-1e4-style fill)
+    for a in (t_attn, s_attn):
+        for x in a:
+            x[:, :, :, -1] = -1e4
+
+    mse = MSELoss()
+    tt_h = ns["get_cor_teacher"]([torch.from_numpy(x) for x in t_hidden],
+                                 [torch.from_numpy(x) for x in s_hidden])
+    want_h = ns["get_kd_loss"]([torch.from_numpy(x) for x in s_hidden], tt_h,
+                               loss=mse, device="cpu").item()
+    got_h = float(D.kd_list([jnp.asarray(x) for x in s_hidden],
+                            [jnp.asarray(x) for x in t_hidden]))
+    np.testing.assert_allclose(got_h, want_h, rtol=1e-5)
+
+    tt_a = ns["get_cor_teacher"]([torch.from_numpy(x) for x in t_attn],
+                                 [torch.from_numpy(x) for x in s_attn], is_attn=True)
+    want_a = ns["get_kd_loss"]([torch.from_numpy(x) for x in s_attn], tt_a,
+                               is_attn=True, loss=mse, device="cpu").item()
+    got_a = float(D.kd_list([jnp.asarray(x) for x in s_attn],
+                            [jnp.asarray(x) for x in t_attn], is_attn=True))
+    np.testing.assert_allclose(got_a, want_a, rtol=1e-5)
+
+    # is_img: the layer-6 drop (image tower KD skips the last layer)
+    t_img = [rng.randn(2, 5, 16).astype(np.float32) for _ in range(13)]
+    s_img = [rng.randn(2, 5, 16).astype(np.float32) for _ in range(7)]
+    tt_i = ns["get_cor_teacher"]([torch.from_numpy(x) for x in t_img],
+                                 [torch.from_numpy(x) for x in s_img])
+    want_i = ns["get_kd_loss"]([torch.from_numpy(x) for x in s_img], tt_i,
+                               is_img=True, loss=mse, device="cpu").item()
+    got_i = float(D.kd_list([jnp.asarray(x) for x in s_img],
+                            [jnp.asarray(x) for x in t_img], is_img=True))
+    np.testing.assert_allclose(got_i, want_i, rtol=1e-5)
+
+    logits_s = rng.randn(6, 30).astype(np.float32)
+    logits_t = rng.randn(6, 30).astype(np.float32)
+    want_sce = ns["soft_cross_entropy"](torch.from_numpy(logits_s),
+                                        torch.from_numpy(logits_t)).item()
+    got_sce = float(D.soft_cross_entropy(jnp.asarray(logits_s), jnp.asarray(logits_t)))
+    np.testing.assert_allclose(got_sce, want_sce, rtol=1e-5)
