@@ -38,12 +38,18 @@ def swin_config(
     ))
 
 
-def _rel_pos_index(window: int) -> np.ndarray:
+def _rel_pos_index(window: int, table_window: int | None = None) -> np.ndarray:
+    """Indices into a (2*table_window-1)^2 bias table for a `window`-sized
+    attention window. table_window > window = the clamped-window case
+    (resolution smaller than the configured window): relative offsets only
+    span ±(window-1), so they address the central sub-block of the full
+    table."""
+    tw = table_window or window
     coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
     flat = coords.reshape(2, -1)
     rel = flat[:, :, None] - flat[:, None, :]
-    rel = rel.transpose(1, 2, 0) + (window - 1)
-    return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype(np.int32)
+    rel = rel.transpose(1, 2, 0) + (tw - 1)
+    return (rel[..., 0] * (2 * tw - 1) + rel[..., 1]).astype(np.int32)
 
 
 def init_swin(key: Array, cfg: Config) -> dict:
@@ -114,13 +120,14 @@ def _shift_mask(h: int, wd: int, w: int, shift: int) -> np.ndarray:
     return np.where(mask, -100.0, 0.0).astype(np.float32)
 
 
-def _window_attention(bp: dict, x: Array, nh: int, w: int, mask: Optional[np.ndarray], dtype) -> Array:
+def _window_attention(bp: dict, x: Array, nh: int, w: int, mask: Optional[np.ndarray], dtype,
+                      table_window: int | None = None) -> Array:
     nw, n, c = x.shape
     qkv = dense(bp["qkv"], x, dtype=dtype).reshape(nw, n, 3, nh, c // nh)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
     scale = (c // nh) ** -0.5
     attn = jnp.einsum("whnd,whmd->whnm", q * scale, k, preferred_element_type=jnp.float32)
-    bias = bp["rel_bias"][jnp.asarray(_rel_pos_index(w)).reshape(-1)]
+    bias = bp["rel_bias"][jnp.asarray(_rel_pos_index(w, table_window)).reshape(-1)]
     bias = bias.reshape(n, n, nh).transpose(2, 0, 1)
     attn = attn + bias[None].astype(attn.dtype)
     if mask is not None:
@@ -143,27 +150,34 @@ def swin_apply(params: dict, images: Array, cfg: Config, *, dtype=None, **_ignor
         (p, p), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + params["patch_embed"]["bias"].astype(dtype or jnp.float32)
     b, gh, gw, c = x.shape
-    x = layer_norm(params["patch_norm"], x.reshape(b, gh * gw, c)).reshape(b, gh, gw, c)
+    x = layer_norm(params["patch_norm"], x.reshape(b, gh * gw, c), eps=1e-5).reshape(b, gh, gw, c)
 
     for si, stage in enumerate(params["stages"]):
         nh = cfg["num_heads"][si]
+        # reference SwinTransformerBlock.__init__ (swin_transformer.py:
+        # 195-199): when the window covers the whole grid, clamp it to the
+        # resolution and disable shifting (a roll would only permute tokens
+        # within the single window). Applies per STAGE since resolution
+        # halves at each patch merging.
+        w_eff = min(w, gh, gw)
         for bi, bp in enumerate(stage["blocks"]):
-            shift = 0 if bi % 2 == 0 else w // 2
+            shift = 0 if (bi % 2 == 0 or min(gh, gw) <= w) else w_eff // 2
             res = x
-            h_ = layer_norm(bp["ln1"], x)
+            h_ = layer_norm(bp["ln1"], x, eps=1e-5)
             if shift:
                 h_ = jnp.roll(h_, (-shift, -shift), axis=(1, 2))
-                mask = _shift_mask(gh, gw, w, shift)
+                mask = _shift_mask(gh, gw, w_eff, shift)
             else:
                 mask = None
-            wins = _window_partition(h_, w)
-            wins = _window_attention(bp, wins, nh, w, mask, dtype)
-            h_ = _window_reverse(wins, w, gh, gw)
+            wins = _window_partition(h_, w_eff)
+            wins = _window_attention(bp, wins, nh, w_eff, mask, dtype,
+                                     table_window=w if w_eff < w else None)
+            h_ = _window_reverse(wins, w_eff, gh, gw)
             if shift:
                 h_ = jnp.roll(h_, (shift, shift), axis=(1, 2))
             x = res + h_
             res = x
-            h_ = layer_norm(bp["ln2"], x)
+            h_ = layer_norm(bp["ln2"], x, eps=1e-5)
             h_ = dense(bp["fc2"], gelu(dense(bp["fc1"], h_, dtype=dtype)), dtype=dtype)
             x = res + h_
         if "downsample" in stage:
@@ -172,11 +186,11 @@ def swin_apply(params: dict, images: Array, cfg: Config, *, dtype=None, **_ignor
             x2 = x[:, 0::2, 1::2]
             x3 = x[:, 1::2, 1::2]
             x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-            x = layer_norm(stage["downsample"]["norm"], x)
+            x = layer_norm(stage["downsample"]["norm"], x, eps=1e-5)
             x = dense(stage["downsample"]["reduction"], x, dtype=dtype)
             gh, gw = gh // 2, gw // 2
 
     c = x.shape[-1]
-    seq = layer_norm(params["norm"], x.reshape(b, gh * gw, c))
+    seq = layer_norm(params["norm"], x.reshape(b, gh * gw, c), eps=1e-5)
     cls = seq.mean(axis=1, keepdims=True)
     return {"last_hidden": jnp.concatenate([cls, seq], axis=1), "hidden_states": None, "attentions": None}

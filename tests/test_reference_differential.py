@@ -341,25 +341,7 @@ def test_xvlm_losses_match_reference_torch():
         m.__spec__ = importlib.util.spec_from_loader(name, loader=None)
         return m
 
-    timm, timm_models = _mod("timm"), _mod("timm.models")
-    vt, reg, layers = (_mod("timm.models.vision_transformer"),
-                       _mod("timm.models.registry"), _mod("timm.models.layers"))
-    vt._cfg = lambda url="", **kw: {"url": url, **kw}
-
-    class PatchEmbed(nn.Module):
-        pass
-
-    class DropPath(nn.Module):
-        def forward(self, x):
-            return x
-
-    vt.PatchEmbed = PatchEmbed
-    reg.register_model = lambda f: f
-    layers.trunc_normal_ = torch.nn.init.trunc_normal_
-    layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
-    layers.DropPath = DropPath
-    for m in (timm, timm_models, vt, reg, layers):
-        sys.modules.setdefault(m.__name__, m)
+    _stub_timm()  # shared functional stubs (PatchEmbed must really embed)
 
     um = _mod("utils")
     um.read_json = lambda p: __import__("json").load(open(p))
@@ -554,3 +536,118 @@ def test_kd_losses_match_reference():
                                         torch.from_numpy(logits_t)).item()
     got_sce = float(D.soft_cross_entropy(jnp.asarray(logits_s), jnp.asarray(logits_t)))
     np.testing.assert_allclose(got_sce, want_sce, rtol=1e-5)
+
+
+def _stub_timm():
+    """Minimal timm surface the reference vit/swin modules import. PatchEmbed
+    follows the published timm layout (proj conv + flatten) so checkpoints
+    keep the standard key names."""
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.util.spec_from_loader(name, loader=None)
+        return m
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, img_size=224, patch_size=16, in_chans=3,
+                     embed_dim=768, norm_layer=None):
+            super().__init__()
+            img_size, patch_size = to_2tuple(img_size), to_2tuple(patch_size)
+            self.img_size, self.patch_size = img_size, patch_size
+            self.patches_resolution = [img_size[0] // patch_size[0],
+                                       img_size[1] // patch_size[1]]
+            self.num_patches = self.patches_resolution[0] * self.patches_resolution[1]
+            self.num_patch_embed = self.num_patches
+            self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                                  stride=patch_size)
+            self.norm = norm_layer(embed_dim) if norm_layer else None
+
+        def forward(self, x):
+            x = self.proj(x).flatten(2).transpose(1, 2)
+            return self.norm(x) if self.norm is not None else x
+
+    timm, timm_models = _mod("timm"), _mod("timm.models")
+    vt, reg, layers = (_mod("timm.models.vision_transformer"),
+                       _mod("timm.models.registry"), _mod("timm.models.layers"))
+    vt._cfg = lambda url="", **kw: {"url": url, **kw}
+    vt.PatchEmbed = PatchEmbed
+    reg.register_model = lambda f: f
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    layers.to_2tuple = to_2tuple
+    layers.DropPath = DropPath
+    for m in (timm, timm_models, vt, reg, layers):
+        sys.modules.setdefault(m.__name__, m)
+
+
+def test_deit_matches_reference_torch():
+    """models/vit.py VisionTransformer (the DeiT alternative image tower,
+    timm PatchEmbed layout) == our deit_apply on identical weights
+    (import remap deit_params_from_state_dict incl. fused-qkv split)."""
+    import torch
+
+    from efficientvlm_tpu.config import VisionConfig
+    from efficientvlm_tpu.models.deit import deit_apply
+    from efficientvlm_tpu.train import checkpoint as C
+
+    _stub_timm()
+    ref_vit = _load_ref("ref_deit", "vit.py")
+    torch.manual_seed(1)
+    ref = ref_vit.VisionTransformer(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        mlp_ratio=2.0, drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+    ).eval()
+
+    cfg = VisionConfig.create(
+        vision_width=32, num_attention_heads=4, intermediate_size=64,
+        num_hidden_layers=2, image_res=32, patch_size=8,
+    )
+    params = C.deit_params_from_state_dict(_sd_numpy(ref), 2, num_patches=cfg.num_patches)
+
+    x = np.random.RandomState(9).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(deit_apply(params, np.transpose(x, (0, 2, 3, 1)), cfg)["last_hidden"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+def test_swin_matches_reference_torch():
+    """models/swin_transformer.py SwinTransformer (windowed/shifted
+    attention, relative-position bias, patch merging, mean-pool CLS) == our
+    swin_apply on identical weights (import remap swin_params_from_state_dict)."""
+    import torch
+
+    from efficientvlm_tpu.models.swin import swin_apply, swin_config
+    from efficientvlm_tpu.train import checkpoint as C
+
+    _stub_timm()
+    ref_swin = _load_ref("ref_swin", "swin_transformer.py")
+    torch.manual_seed(2)
+    ref = ref_swin.SwinTransformer(
+        img_size=32, patch_size=4, embed_dim=16, depths=[2, 2],
+        num_heads=[2, 4], window_size=4, mlp_ratio=2.0,
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0, num_classes=0,
+    ).eval()
+
+    cfg = swin_config(image_res=32, patch_size=4, embed_dim=16, depths=(2, 2),
+                      num_heads=(2, 4), window_size=4, mlp_ratio=2.0)
+    params = C.swin_params_from_state_dict(_sd_numpy(ref), depths=[2, 2], window_size=4)
+
+    x = np.random.RandomState(10).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(swin_apply(params, np.transpose(x, (0, 2, 3, 1)), cfg)["last_hidden"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-5)
