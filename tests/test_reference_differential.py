@@ -651,3 +651,69 @@ def test_swin_matches_reference_torch():
         want = ref(torch.from_numpy(x)).numpy()
     got = np.asarray(swin_apply(params, np.transpose(x, (0, 2, 3, 1)), cfg)["last_hidden"])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-5)
+
+
+def test_nlvr_paired_cross_matches_reference_torch():
+    """The NLVR doubled-cross construct: reference xbert routes a LIST of
+    two encoder states by (layer-fusion)%2 (xbert.py:498-505) with pair
+    K/V weights tied by share_cross_attention (model_nlvr.py:230-243).
+    Our XVLMForNLVR.cross_forward must reproduce the torch forward on
+    identical weights."""
+    import torch
+
+    import jax.numpy as jnp
+    from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+    from efficientvlm_tpu.models.model_nlvr import XVLMForNLVR
+    from efficientvlm_tpu.train import checkpoint as C
+
+    xbert = _load_ref("ref_xbert_nlvr", "xbert.py")
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    torch.manual_seed(5)
+    rcfg = BertConfig(
+        vocab_size=60, hidden_size=64, num_hidden_layers=6, num_attention_heads=4,
+        intermediate_size=96, max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    rcfg.fusion_layer = 2  # 2 text + 2x2 paired cross layers
+    rcfg.encoder_width = 64
+    ref = xbert.BertModel(rcfg, add_pooling_layer=False).eval()
+    # share_cross_attention: tie pair K/V (pair-first points at pair-second)
+    for i in range(2):
+        l0 = ref.encoder.layer[2 + 2 * i].crossattention.self
+        l1 = ref.encoder.layer[2 + 2 * i + 1].crossattention.self
+        l0.key.weight = l1.key.weight
+        l0.key.bias = l1.key.bias
+        l0.value.weight = l1.value.weight
+        l0.value.bias = l1.value.bias
+
+    rng = np.random.RandomState(11)
+    ids = rng.randint(0, 60, (2, 7)).astype(np.int64)
+    atts = np.ones((2, 7), np.int64)
+    e0 = rng.randn(2, 9, 64).astype(np.float32)
+    e1 = rng.randn(2, 9, 64).astype(np.float32)
+    ea = np.ones((2, 9), np.int64)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids), attention_mask=torch.from_numpy(atts),
+                   encoder_hidden_states=[torch.from_numpy(e0), torch.from_numpy(e1)],
+                   encoder_attention_mask=[torch.from_numpy(ea), torch.from_numpy(ea)],
+                   mode="multi_modal").last_hidden_state.numpy()
+
+    vcfg = VisionConfig.create(
+        vision_width=64, num_attention_heads=4, intermediate_size=96,
+        num_hidden_layers=2, image_res=16, patch_size=8,
+    )
+    tcfg = TextConfig.create(
+        vocab_size=60, hidden_size=64, num_hidden_layers=4, fusion_layer=2,
+        num_attention_heads=4, intermediate_size=96, encoder_width=64,
+        max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = XVLMForNLVR(vcfg, tcfg, Config({"embed_dim": 16}))
+    params = {"text": C.bert_params_from_state_dict(_sd_numpy(ref), 6, 2, with_mlm_head=False)}
+
+    got = np.asarray(model.cross_forward(
+        params, jnp.asarray(e0), jnp.asarray(ea), jnp.asarray(e1), jnp.asarray(ea),
+        jnp.asarray(ids), jnp.asarray(atts))["last_hidden"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
