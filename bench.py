@@ -293,6 +293,29 @@ def _run_phase(phase: str, timeout=1200):
     raise RuntimeError(f"phase {phase} produced no JSON: {out.stdout[-500:]} {out.stderr[-500:]}")
 
 
+def _tunnel_alive() -> bool:
+    """The axon relay listens on 127.0.0.1:8083; when it's down
+    jax.devices() HANGS forever instead of erroring (CLAUDE.md)."""
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=5):
+            return True
+    except OSError:
+        return False
+
+
+def _wait_for_tunnel(max_wait_s=1800) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if _tunnel_alive():
+            return True
+        print(f"### TPU tunnel down ({int(time.time() - t0)}s); retrying...",
+              file=sys.stderr)
+        time.sleep(60)
+    return False
+
+
 def main():
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
@@ -302,6 +325,15 @@ def main():
          "pruned_vqa": phase_pruned_vqa,
          "caption_teacher": phase_caption_teacher,
          "pruned_caption": phase_pruned_caption}[phase]()
+        return
+
+    if not _wait_for_tunnel():
+        # every phase would burn its full subprocess timeout; say why ONCE
+        print(json.dumps({
+            "metric": "pruned_retrieval_pairs_per_sec_per_chip",
+            "value": None, "unit": "pairs/s", "vs_baseline": None,
+            "error": "TPU tunnel (127.0.0.1:8083) unreachable for 30 min",
+        }))
         return
 
     teacher = _run_phase("teacher")["tput"]
