@@ -67,18 +67,29 @@ def collect_result(
     filename: str,
     local_wdir: str,
     *,
+    hdfs_wdir: str = "",
     rank: Optional[int] = None,
     world_size: Optional[int] = None,
     remove_duplicate: str = "",
     save_result: bool = False,
 ):
     """Per-rank jsonl dump -> barrier -> rank-0 merge. Returns merged list
-    (or final file path when save_result)."""
+    (or final file path when save_result).
+
+    hdfs_wdir (reference --output_hdfs, dataset/utils.py collect_result):
+    multi-host runs WITHOUT a shared filesystem publish per-rank files
+    through hdfs://-style storage; rank 0 pulls every rank's file back
+    before merging, and the merged result is uploaded too."""
     import jax
+
+    from ..utils.io import hcopy
 
     rank = rank if rank is not None else jax.process_index()
     world_size = world_size if world_size is not None else jax.process_count()
-    write_jsonl(result, os.path.join(local_wdir, f"{filename}_rank{rank}.json"))
+    rank_file = os.path.join(local_wdir, f"{filename}_rank{rank}.json")
+    write_jsonl(result, rank_file)
+    if hdfs_wdir:
+        hcopy(rank_file, f"{hdfs_wdir.rstrip('/')}/{filename}_rank{rank}.json")
     _barrier()
 
     if rank != 0:
@@ -87,7 +98,10 @@ def collect_result(
 
     merged: List[dict] = []
     for r in range(world_size):
-        merged += read_jsonl(os.path.join(local_wdir, f"{filename}_rank{r}.json"))
+        path = os.path.join(local_wdir, f"{filename}_rank{r}.json")
+        if hdfs_wdir and r != rank:
+            hcopy(f"{hdfs_wdir.rstrip('/')}/{filename}_rank{r}.json", path)
+        merged += read_jsonl(path)
     if remove_duplicate:
         seen, dedup = set(), []
         for res in merged:
@@ -100,6 +114,8 @@ def collect_result(
         final = os.path.join(local_wdir, f"{filename}.json")
         with open(final, "w") as f:
             json.dump(merged, f, ensure_ascii=False, indent=4)
+        if hdfs_wdir:
+            hcopy(final, f"{hdfs_wdir.rstrip('/')}/{filename}.json")
         out = final
     _barrier()
     return out

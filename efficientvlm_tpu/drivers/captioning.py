@@ -115,6 +115,7 @@ def main(args: Config, config: Config) -> dict:
               else l0.forward_deterministic({"loga": l0_params["loga"]}))
         results = evaluation(student, sparams, val_loader, tokenizer, config, zs=zs)
         merged = collect_result(results, "caption_result", args.get("output_dir", "/tmp"),
+                                hdfs_wdir=args.get("output_hdfs", ""),
                                 rank=info["rank"], world_size=info["world_size"],
                                 remove_duplicate="image_id")
         return {"results": merged}

@@ -138,9 +138,13 @@ def maybe_load_params(model, args: Config, config: Config, build_fn, **load_kw):
             # pruned tree needs no model rebuild: --evaluate --checkpoint
             # pruned_student.ckpt serves the sliced (or int8) program.
             params = ckpt_io.load_params(ckpt)
-            if "state" in params and "model" in params.get("state", {}):
-                params = params["state"]["model"]  # full training state
-            elif "model" in params:
+            if "state" in params:  # full resumable state (save_full_state)
+                st = params["state"]
+                if isinstance(st, dict) and "params" in st:
+                    params = st["params"]  # KD TrainState fields
+                elif isinstance(st, (list, tuple)):
+                    params = st[0]  # GD (params, opt_state, step) tuple
+            elif "model" in params:  # model snapshot payload
                 params = params["model"]
             print(f"### loaded native checkpoint from {ckpt}")
             return params
@@ -170,10 +174,15 @@ def is_native_checkpoint(args: Config, config: Config) -> bool:
 
 
 def save_training_state(output_dir: str, tag, payload: dict) -> None:
+    """Write a model snapshot (model_state_{tag}.ckpt). Deliberately does
+    NOT touch training_state_latest: that rolling file is save_full_state's
+    resumable FULL state ({"state","extra"} incl. all optimizer moments) —
+    passing training_states here used to overwrite it with the small
+    {model,l0,epoch} payload on best epochs, breaking --resume."""
     if get_rank() != 0 or not output_dir:
         return
     ckpt = ckpt_io.Checkpointer(output_dir)
-    ckpt.save_checkpoint(tag, payload, training_states=payload)
+    ckpt.save_checkpoint(tag, payload)
 
 
 def data_parallel_step(step_fn, *, fold_rng: bool = True, with_teacher: bool = False):

@@ -45,8 +45,13 @@ def main(args: Config, config: Config) -> dict:
     else:
         vcfg, tcfg = common.model_configs(config)
         student, teacher = XVLMForPretrain(vcfg, tcfg, config), None
+    # --student_chkpt (reference run.py GD launch) takes precedence over the
+    # generic --checkpoint for the student tower
+    student_args = args
+    if args.get("student_chkpt"):
+        student_args = Config({**args.to_dict(), "checkpoint": args["student_chkpt"]})
     sparams = common.maybe_load_params(
-        student, args, config, lambda: student.init(jax.random.PRNGKey(0), with_bbox_head=True)
+        student, student_args, config, lambda: student.init(jax.random.PRNGKey(0), with_bbox_head=True)
     )
     tparams = common.maybe_load_params(
         teacher, Config({"checkpoint": args.get("teacher_chkpt")}), Config(),

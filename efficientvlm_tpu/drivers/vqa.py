@@ -121,6 +121,7 @@ def main(args: Config, config: Config) -> dict:
               else l0.forward_deterministic({"loga": l0_params["loga"]}))
         results = evaluation(student, sparams, test_loader, tokenizer, config, zs=zs)
         merged = collect_result(results, "vqa_result", args.get("output_dir", "/tmp"),
+                                hdfs_wdir=args.get("output_hdfs", ""),
                                 rank=info["rank"], world_size=info["world_size"])
         return {"results": merged}
 
@@ -239,6 +240,7 @@ def main(args: Config, config: Config) -> dict:
             results = evaluation(student, state.params, test_loader, tokenizer, config, zs=zs)
             merged = collect_result(
                 results, f"vqa_result_epoch{epoch}", args.get("output_dir", "/tmp"),
+                hdfs_wdir=args.get("output_hdfs", ""),
                 rank=info["rank"], world_size=info["world_size"], save_result=True,
             )
             if merged is not None:

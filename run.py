@@ -80,6 +80,15 @@ def main(argv=None):
     parser.add_argument("--output_dir", default="output", type=str)
     parser.add_argument("--checkpoint", default="", type=str)
     parser.add_argument("--teacher_chkpt", default="", type=str)
+    parser.add_argument("--student_chkpt", default="", type=str,
+                        help="general-distillation student init (reference run.py)")
+    parser.add_argument("--load_ckpt_from", default="", type=str,
+                        help="domain pre-trained params for nlvr/captioning "
+                             "fine-tunes (reference run.py:97-119: implies the "
+                             "matching --load_*_pretrain remap)")
+    parser.add_argument("--output_hdfs", default="", type=str,
+                        help="hdfs:// dir for cross-host collect_result merging "
+                             "(VQA/captioning eval on hosts without a shared FS)")
     parser.add_argument("--bs", default=-1, type=int, help="global batch size")
     parser.add_argument("--epoch", default=-1, type=int)
     parser.add_argument("--seed", default=42, type=int)
@@ -110,6 +119,14 @@ def main(argv=None):
         config["sparsity"] = parsed.sparsity
 
     args = Config({k: v for k, v in vars(parsed).items() if v not in ("", -1, None, False)})
+    # --load_ckpt_from: reference run.py fetches the domain-pretrain ckpt and
+    # rewrites --checkpoint with the matching remap flag (run.py:97-119)
+    if args.get("load_ckpt_from"):
+        args["checkpoint"] = args["load_ckpt_from"]
+        if parsed.task in ("nlvr",):
+            args["load_nlvr_pretrain"] = True
+        elif parsed.task in ("coco_captioning",):
+            args["load_capt_pretrain"] = True
     return run(args, config)
 
 

@@ -81,8 +81,13 @@ def main():
     # load_params (not load_pytree): msgpack stringifies layer-list indices;
     # prune_*_params index params["..."]["layers"] as real lists.
     state = C.load_params(args.training_state)
-    params = state["model"]
-    l0_params = state["l0"]
+    if "state" in state:  # full resumable state (save_full_state {state,extra})
+        st = state["state"]
+        params = st["params"]
+        l0_params = {"loga": st["loga"], **st.get("lam", {})}
+    else:  # model snapshot payload ({model, l0, epoch})
+        params = state["model"]
+        l0_params = state["l0"]
 
     l0 = build_l0(args.task, **_l0_kw(args))
     zs = l0.forward_deterministic({"loga": l0_params["loga"]})

@@ -167,3 +167,23 @@ def test_background_full_state_save(small_model, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(payload["state"]["model"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_snapshot_does_not_clobber_resumable_state(small_model, tmp_path):
+    """Regression: best-epoch model snapshots (save_training_state) used to
+    overwrite training_state_latest with the small {model,l0,epoch} payload,
+    so --resume after a best epoch crashed / lost optimizer moments."""
+    from efficientvlm_tpu.drivers import common
+
+    _, params = small_model
+    out = str(tmp_path)
+    full = {"model": params, "opt": {"mu": jnp.ones(3)}, "step": jnp.int32(7)}
+    common.save_full_state(out, full, {"epoch": 0})
+    common.save_training_state(out, "best", {"model": params, "epoch": 0})
+
+    restored = common.restore_full_state(out, full)
+    assert restored is not None
+    state, extra = restored
+    assert extra["epoch"] == 0
+    assert int(state["step"]) == 7  # optimizer-bearing full state survived
+    assert os.path.exists(os.path.join(out, "model_state_step_best.ckpt"))

@@ -172,3 +172,29 @@ def test_pretrain_stream(tmp_path):
     assert batch["text_ids"].shape == (3, 12)
     assert batch["masked_pos"].shape == (3, 3)
     assert (batch["masked_ids"] >= -100).all()
+
+
+def test_collect_result_hdfs_wdir(tmp_path):
+    """--output_hdfs flow (reference dataset/utils.py collect_result with
+    hdfs_wdir): ranks publish through the shared store, rank 0 pulls every
+    rank's file back before merging. Simulated with two rank-local dirs and
+    a local path as the 'hdfs' store (io.hcopy shells to cp for local)."""
+    from efficientvlm_tpu.data.utils import collect_result
+
+    store = tmp_path / "store"
+    dir0, dir1 = tmp_path / "rank0", tmp_path / "rank1"
+    for d in (store, dir0, dir1):
+        d.mkdir()
+
+    # rank 1 on its own host: writes locally + publishes to the store
+    out1 = collect_result([{"id": 2, "v": "b"}], "res", str(dir1),
+                          hdfs_wdir=str(store), rank=1, world_size=2)
+    assert out1 is None  # non-zero ranks return None
+    # rank 0 on a DIFFERENT host: its local dir lacks rank 1's file
+    merged = collect_result([{"id": 1, "v": "a"}], "res", str(dir0),
+                            hdfs_wdir=str(store), rank=0, world_size=2,
+                            save_result=True)
+    assert merged.endswith("res.json")
+    data = json.load(open(merged))
+    assert sorted(d["id"] for d in data) == [1, 2]
+    assert (store / "res.json").exists()  # merged result published too
