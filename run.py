@@ -77,6 +77,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--task", required=True, choices=sorted(TASK_CONFIGS))
     parser.add_argument("--config", default="", type=str)
+    parser.add_argument("--model", default="x-vlm-small-ft", type=str,
+                        help="fine-tune config set under configs/ (reference run.py)")
     parser.add_argument("--output_dir", default="output", type=str)
     parser.add_argument("--checkpoint", default="", type=str)
     parser.add_argument("--teacher_chkpt", default="", type=str)
@@ -104,7 +106,8 @@ def main(argv=None):
     parser.add_argument("--max_steps", default=None, type=int)
     parsed = parser.parse_args(argv)
 
-    cfg_path = parsed.config or TASK_CONFIGS[parsed.task]
+    cfg_path = parsed.config or TASK_CONFIGS[parsed.task].replace(
+        "x-vlm-small-ft", parsed.model)
     repo_root = os.path.dirname(os.path.abspath(__file__))
     if not os.path.isabs(cfg_path):
         cfg_path = os.path.join(repo_root, cfg_path)
