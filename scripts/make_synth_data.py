@@ -84,6 +84,15 @@ def main():
     json.dump(train, open(os.path.join(d, "train.json"), "w"))
     json.dump(val, open(os.path.join(d, "val.json"), "w"))
 
+    # Grounding
+    d = os.path.join(args.root, "synth_ground")
+    write_images(os.path.join(d, "imgs"), args.n, rng)
+    ann = [{"image": f"{i}.jpg", "text": f"the {WORDS[i % len(WORDS)]} number {i}",
+            "bbox": [5, 5, 20, 20], "ref_id": i} for i in range(args.n)]
+    json.dump(ann, open(os.path.join(d, "ann.json"), "w"))
+    json.dump({str(i): {"bbox": [5, 5, 20, 20], "split": "val"} for i in range(args.n)},
+              open(os.path.join(d, "refs.json"), "w"))
+
     print(f"synthetic data written under {args.root}/synth_*")
 
 
