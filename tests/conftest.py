@@ -39,3 +39,33 @@ assert len(jax.devices()) == 8, (
 @pytest.fixture(scope="session")
 def repo_root():
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# Pallas kernels remote-compile through the axon relay even in CPU-platform
+# processes (PALLAS_AXON_REMOTE_COMPILE=1) — and when the relay is down the
+# compile HANGS rather than erroring. Skip the Mosaic-dependent files
+# whenever the relay port is unreachable so a tunnel outage degrades the
+# suite to a skip, not a multi-hour hang.
+_MOSAIC_TEST_FILES = ("test_pallas.py", "test_fused_mha.py")
+
+
+def _relay_alive() -> bool:
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "") != "1":
+        return True  # no remote compile configured: interpret-mode is local
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=5):
+            return True
+    except OSError:
+        return False
+
+
+def pytest_collection_modifyitems(config, items):
+    if _relay_alive():
+        return
+    skip = pytest.mark.skip(reason="axon relay (127.0.0.1:8083) unreachable: "
+                                   "Pallas remote compiles would hang")
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _MOSAIC_TEST_FILES:
+            item.add_marker(skip)
