@@ -79,6 +79,10 @@ def main(argv=None):
     parser.add_argument("--config", default="", type=str)
     parser.add_argument("--model", default="x-vlm-small-ft", type=str,
                         help="fine-tune config set under configs/ (reference run.py)")
+    parser.add_argument("--dist", default="", type=str,
+                        help="accepted for reference-script compatibility and "
+                             "ignored: drivers run in-process on all local chips; "
+                             "multi-host runs launch once per host (README)")
     parser.add_argument("--output_dir", default="output", type=str)
     parser.add_argument("--checkpoint", default="", type=str)
     parser.add_argument("--teacher_chkpt", default="", type=str)
