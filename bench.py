@@ -294,15 +294,9 @@ def _run_phase(phase: str, timeout=1200):
 
 
 def _tunnel_alive() -> bool:
-    """The axon relay listens on 127.0.0.1:8083; when it's down
-    jax.devices() HANGS forever instead of erroring (CLAUDE.md)."""
-    import socket
+    from efficientvlm_tpu.utils.tunnel import relay_alive
 
-    try:
-        with socket.create_connection(("127.0.0.1", 8083), timeout=5):
-            return True
-    except OSError:
-        return False
+    return relay_alive()
 
 
 def _wait_for_tunnel(max_wait_s=1800) -> bool:

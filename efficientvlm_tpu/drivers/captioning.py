@@ -111,7 +111,8 @@ def main(args: Config, config: Config) -> dict:
                               rank=info["rank"], world_size=info["world_size"])
 
     if args.get("evaluate"):
-        zs = (None if common.is_native_checkpoint(args, config)
+        zs = (common.native_eval_gates(l0, args, config)
+              if common.is_native_checkpoint(args, config)
               else l0.forward_deterministic({"loga": l0_params["loga"]}))
         results = evaluation(student, sparams, val_loader, tokenizer, config, zs=zs)
         merged = collect_result(results, "caption_result", args.get("output_dir", "/tmp"),

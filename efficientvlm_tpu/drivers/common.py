@@ -137,15 +137,7 @@ def maybe_load_params(model, args: Config, config: Config, build_fn, **load_kw):
             # The gated apply fns take per-layer param shapes as-is, so a
             # pruned tree needs no model rebuild: --evaluate --checkpoint
             # pruned_student.ckpt serves the sliced (or int8) program.
-            params = ckpt_io.load_params(ckpt)
-            if "state" in params:  # full resumable state (save_full_state)
-                st = params["state"]
-                if isinstance(st, dict) and "params" in st:
-                    params = st["params"]  # KD TrainState fields
-                elif isinstance(st, (list, tuple)):
-                    params = st[0]  # GD (params, opt_state, step) tuple
-            elif "model" in params:  # model snapshot payload
-                params = params["model"]
+            params, _ = ckpt_io.extract_model_and_gates(ckpt_io.load_params(ckpt))
             print(f"### loaded native checkpoint from {ckpt}")
             return params
         sd = ckpt_io.load_torch_state_dict(ckpt)
@@ -163,14 +155,27 @@ def maybe_load_params(model, args: Config, config: Config, build_fn, **load_kw):
 
 
 def is_native_checkpoint(args: Config, config: Config) -> bool:
-    """True when --checkpoint points at a native msgpack export
-    (scripts/export_pruned.py). Physically pruned (or quantized) trees
-    already HAVE their gates folded/sliced in — evaluation must run the
-    dense program (zs=None), not re-apply L0 masks sized for the unsliced
-    model (reference: load_pruned_model serves the pruned net with no
-    masks, utils/xvlm_utils.py:283-299)."""
+    """True when --checkpoint points at a native msgpack file (any shape:
+    physical export, model snapshot, or full training state)."""
     ckpt = args.get("checkpoint") or config.get("checkpoint")
     return bool(ckpt) and str(ckpt).endswith(".ckpt")
+
+
+def native_eval_gates(l0, args: Config, config: Config):
+    """Deterministic eval gates for --evaluate with a native checkpoint.
+
+    A native .ckpt is NOT necessarily a physical export: model snapshots and
+    full training states carry TRAINED log-alphas, and the reference
+    evaluates those through their deterministic masks. Returns
+    l0.forward_deterministic over the stored gates when present, and None
+    (dense program) only for gate-free trees — a physically sliced export
+    (gates already folded in, reference load_pruned_model) or a pretrain
+    state."""
+    ckpt = args.get("checkpoint") or config.get("checkpoint")
+    _, gates = ckpt_io.extract_model_and_gates(ckpt_io.load_params(str(ckpt)))
+    if gates is None:
+        return None
+    return l0.forward_deterministic({"loga": gates["loga"]})
 
 
 def save_training_state(output_dir: str, tag, payload: dict) -> None:

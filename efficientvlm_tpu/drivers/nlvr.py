@@ -102,7 +102,8 @@ def main(args: Config, config: Config) -> dict:
     test_loader = SimpleLoader(test_ds, batch_size=config.get("batch_size_test", 16))
 
     if args.get("evaluate"):
-        zs = (None if common.is_native_checkpoint(args, config)
+        zs = (common.native_eval_gates(l0, args, config)
+              if common.is_native_checkpoint(args, config)
               else l0.forward_deterministic({"loga": l0_params["loga"]}))
         acc = evaluate(student, sparams, test_loader, tokenizer, config, zs=zs)
         common.log_stats({"test_acc": acc}, args.get("output_dir", ""))

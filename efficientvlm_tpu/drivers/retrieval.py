@@ -142,7 +142,8 @@ def main(args: Config, config: Config) -> dict:
             print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
 
     if args.get("evaluate"):
-        zs = (None if common.is_native_checkpoint(args, config)
+        zs = (common.native_eval_gates(l0, args, config)
+              if common.is_native_checkpoint(args, config)
               else l0.forward_deterministic({"loga": state.loga}))
         results = evaluate(student, state.params, test_loader, test_ds, tokenizer, config, zs=zs)
         common.log_stats({"test": results}, args.get("output_dir", ""))

@@ -676,6 +676,35 @@ def load_params(path: str):
     return _relist(load_pytree(path))
 
 
+def extract_model_and_gates(tree):
+    """(model_params, l0_params_or_None) from any native checkpoint shape:
+
+    - params-only physical export (scripts/export_pruned.py) -> (tree, None)
+    - model snapshot payload {model, l0?, epoch} (save_training_state)
+      -> (model, l0)
+    - full resumable state {state, extra} (save_full_state), where state is
+      either the KD TrainState field dict or the GD (params, opt_state,
+      step) tuple (re-listed by load_params) -> (params, {loga, lambdas}?)
+
+    l0 is None exactly when the tree carries no gate parameters — a
+    physical export (gates folded/sliced in) or a gate-free pretrain state —
+    so callers can distinguish "evaluate dense" from "apply these gates"."""
+    if isinstance(tree, dict) and "state" in tree:
+        st = tree["state"]
+        if isinstance(st, dict) and "params" in st:  # KD TrainState fields
+            l0 = {"loga": st["loga"], **st.get("lam", {})} if "loga" in st else None
+            return st["params"], l0
+        if isinstance(st, (list, tuple)):  # GD (params, opt_state, step)
+            return st[0], None
+        return st, None
+    if isinstance(tree, dict) and "model" in tree:  # snapshot payload
+        l0 = tree.get("l0")
+        if not (isinstance(l0, dict) and "loga" in l0):
+            l0 = None
+        return tree["model"], l0
+    return tree, None  # params-only export
+
+
 def restore_pytree_like(template, state_dict):
     """Rebuild a structured pytree (e.g. a TrainState with optax optimizer
     states) from a msgpack-restored nested dict, using `template` for the

@@ -74,6 +74,13 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent XLA compile cache: repeated smoke runs (and the remote TPU
+    # compiles) start from compiled programs (CLAUDE.md: enable in every
+    # bench/driver entry point)
+    from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--task", required=True, choices=sorted(TASK_CONFIGS))
     parser.add_argument("--config", default="", type=str)

@@ -30,6 +30,10 @@ if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
 
 import numpy as np
 
+from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
 from efficientvlm_tpu.pruning.export import prune_xvlm_params
 from efficientvlm_tpu.pruning.l0_module import NLVRL0Module, VQAL0Module, XVLML0Module
@@ -79,15 +83,14 @@ def main():
     args = ap.parse_args()
 
     # load_params (not load_pytree): msgpack stringifies layer-list indices;
-    # prune_*_params index params["..."]["layers"] as real lists.
-    state = C.load_params(args.training_state)
-    if "state" in state:  # full resumable state (save_full_state {state,extra})
-        st = state["state"]
-        params = st["params"]
-        l0_params = {"loga": st["loga"], **st.get("lam", {})}
-    else:  # model snapshot payload ({model, l0, epoch})
-        params = state["model"]
-        l0_params = state["l0"]
+    # prune_*_params index params["..."]["layers"] as real lists. Accepts
+    # either checkpoint shape (full resumable state or model snapshot).
+    params, l0_params = C.extract_model_and_gates(C.load_params(args.training_state))
+    if l0_params is None:
+        raise SystemExit(
+            f"{args.training_state} carries no L0 gate parameters (a physical "
+            "export or a gate-free pretrain state) — nothing to slice. Export "
+            "needs a pruning-fine-tune training state or model snapshot.")
 
     l0 = build_l0(args.task, **_l0_kw(args))
     zs = l0.forward_deterministic({"loga": l0_params["loga"]})

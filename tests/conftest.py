@@ -52,13 +52,9 @@ _MOSAIC_TEST_FILES = ("test_pallas.py", "test_fused_mha.py")
 def _relay_alive() -> bool:
     if os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "") != "1":
         return True  # no remote compile configured: interpret-mode is local
-    import socket
+    from efficientvlm_tpu.utils.tunnel import relay_alive
 
-    try:
-        with socket.create_connection(("127.0.0.1", 8083), timeout=5):
-            return True
-    except OSError:
-        return False
+    return relay_alive()
 
 
 def pytest_collection_modifyitems(config, items):
