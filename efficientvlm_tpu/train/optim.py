@@ -34,7 +34,13 @@ def _path_str(path) -> str:
 
 def weight_decay_mask(params) -> object:
     """True where decay applies: exclude biases, LayerNorm/scale params,
-    embeddings' LN, temp (reference optim.py:29-37 skip_list)."""
+    embeddings' LN, temp (reference optim.py:29-44 no_decay set).
+
+    Deliberate divergence: the reference's name-only filter leaves `temp`
+    and `class_embedding` in the DECAY group (they match none of its
+    substrings); we additionally exclude every <=1-D leaf, the standard
+    practice — decaying a clamped temperature scalar or the CLS token
+    toward zero is an upstream accident, not a behavior to reproduce."""
 
     def decide(path, leaf):
         s = _path_str(path)
