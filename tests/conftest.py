@@ -43,25 +43,13 @@ def repo_root():
 
 # Pallas kernels remote-compile through the axon relay even in CPU-platform
 # processes (PALLAS_AXON_REMOTE_COMPILE=1) — and when the relay is down the
-# compile HANGS rather than erroring. Skip the Mosaic-dependent files
-# whenever the relay port is unreachable so a tunnel outage degrades the
-# suite to a skip, not a multi-hour hang.
-_MOSAIC_TEST_FILES = ("test_pallas.py", "test_fused_mha.py")
-
-
-def _relay_alive() -> bool:
-    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "") != "1":
-        return True  # no remote compile configured: interpret-mode is local
+# compile HANGS rather than erroring. Degrade gracefully: clear the flag so
+# the kernel tests run in LOCAL interpret mode (numerics still verified;
+# the Mosaic lowering itself gets exercised whenever the relay is up).
+if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
     from efficientvlm_tpu.utils.tunnel import relay_alive
 
-    return relay_alive()
-
-
-def pytest_collection_modifyitems(config, items):
-    if _relay_alive():
-        return
-    skip = pytest.mark.skip(reason="axon relay (127.0.0.1:8083) unreachable: "
-                                   "Pallas remote compiles would hang")
-    for item in items:
-        if os.path.basename(str(item.fspath)) in _MOSAIC_TEST_FILES:
-            item.add_marker(skip)
+    if not relay_alive():
+        del os.environ["PALLAS_AXON_REMOTE_COMPILE"]
+        print("### axon relay unreachable: Pallas tests run in local "
+              "interpret mode (no Mosaic lowering this run)")
