@@ -717,3 +717,47 @@ def test_nlvr_paired_cross_matches_reference_torch():
         params, jnp.asarray(e0), jnp.asarray(ea), jnp.asarray(e1), jnp.asarray(ea),
         jnp.asarray(ids), jnp.asarray(atts))["last_hidden"])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+def test_vit_region_grouping_matches_reference_torch():
+    """The GD region-batch path: local-attention layers gather grouped
+    copies of the image tokens (idx_to_group_img) and mask them to their
+    patch boxes (image_atts) — ref clip_vit.py forward:357-394 with
+    local_attn_depth>0. Our vit_apply must reproduce both the grouped
+    output and the full-attention output on identical weights."""
+    import torch
+
+    from efficientvlm_tpu.config import VisionConfig
+    from efficientvlm_tpu.models import vit as V
+    from efficientvlm_tpu.train import checkpoint as C
+
+    clip_vit = _load_ref("ref_clip_vit_region", "clip_vit.py")
+    torch.manual_seed(6)
+    ref = clip_vit.CLIPVisionTransformer(
+        32, 8, 64, "quick_gelu", 4, 0.0, 128, 3, local_attn_depth=2).eval()
+
+    params = C.vit_params_from_state_dict(_sd_numpy(ref), 3, num_patches=16)
+    cfg = VisionConfig.create(
+        vision_width=64, num_attention_heads=4, intermediate_size=128,
+        num_hidden_layers=3, image_res=32, patch_size=8, hidden_act="quick_gelu",
+        local_attn_depth=2,
+    )
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+    # 3 region groups over the 2 images; per-group patch-box masks on 1+16
+    idx = np.array([0, 0, 1])
+    atts = np.ones((3, 17), np.float32)
+    atts[0, 9:] = 0  # region 0: first patches only
+    atts[1, 1:6] = 0  # region 1: a different box
+    with torch.no_grad():
+        grouped_t, _, _, full_t = ref(
+            torch.from_numpy(x), idx_to_group_img=torch.from_numpy(idx),
+            image_atts=torch.from_numpy(atts))
+
+    out = V.vit_apply(params, np.transpose(x, (0, 2, 3, 1)), cfg,
+                      idx_to_group_img=idx, image_atts=atts)
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden"]), grouped_t.numpy(), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["full_atts_hidden"]), full_t.numpy(), rtol=1e-4, atol=2e-5)
