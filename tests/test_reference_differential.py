@@ -761,3 +761,74 @@ def test_vit_region_grouping_matches_reference_torch():
         np.asarray(out["last_hidden"]), grouped_t.numpy(), rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(out["full_atts_hidden"]), full_t.numpy(), rtol=1e-4, atol=2e-5)
+
+
+def test_kv_cache_decode_matches_reference_torch():
+    """Stepwise cached decode: our fixed-size functional KV cache
+    (ops/attention.init_decode_cache + position_offset) produces the same
+    per-step logits as the reference BertLMHeadModel fed past_key_values
+    (xbert.py use_cache path) on identical weights."""
+    import torch
+
+    import jax.numpy as jnp
+    from efficientvlm_tpu.config import TextConfig
+    from efficientvlm_tpu.generation import make_bert_decode_fn
+    from efficientvlm_tpu.models import bert as B
+    from efficientvlm_tpu.train import checkpoint as C
+
+    xbert = _load_ref("ref_xbert_cache", "xbert.py")
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    torch.manual_seed(7)
+    rcfg = BertConfig(
+        vocab_size=60, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=96, max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    rcfg.fusion_layer = 0
+    rcfg.encoder_width = 64
+    ref = xbert.BertLMHeadModel(rcfg).eval()
+
+    params = C.bert_params_from_state_dict(_sd_numpy(ref), 2, 0, with_mlm_head=True)
+    cfg = TextConfig.create(
+        vocab_size=60, hidden_size=64, num_hidden_layers=2, fusion_layer=0,
+        num_attention_heads=4, intermediate_size=96, encoder_width=64,
+        max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+    rng = np.random.RandomState(13)
+    enc = rng.randn(2, 9, 64).astype(np.float32)
+    enc_atts = np.ones((2, 9), np.int64)
+    tokens = rng.randint(1, 60, (2, 6)).astype(np.int64)
+
+    # reference: prompt of 2, then 4 single-token cached steps
+    with torch.no_grad():
+        out = ref(torch.from_numpy(tokens[:, :2]),
+                  attention_mask=torch.ones(2, 2, dtype=torch.long),
+                  encoder_hidden_states=torch.from_numpy(enc),
+                  encoder_attention_mask=torch.from_numpy(enc_atts),
+                  is_decoder=True, use_cache=True, return_dict=True)
+        ref_logits = [out.logits[:, -1].numpy()]
+        past = out.past_key_values
+        for t in range(2, 6):
+            out = ref(torch.from_numpy(tokens[:, t:t + 1]),
+                      attention_mask=torch.ones(2, t + 1, dtype=torch.long),
+                      encoder_hidden_states=torch.from_numpy(enc),
+                      encoder_attention_mask=torch.from_numpy(enc_atts),
+                      is_decoder=True, use_cache=True, past_key_values=past,
+                      return_dict=True)
+            ref_logits.append(out.logits[:, -1].numpy())
+            past = out.past_key_values
+
+    decode_fn = make_bert_decode_fn(
+        params, cfg, encoder_hidden=jnp.asarray(enc), encoder_atts=jnp.asarray(enc_atts))
+    cache = B.init_bert_cache(params, cfg, 2, max_len=8)
+    logits, cache = decode_fn(jnp.asarray(tokens[:, :2]), cache, 0)
+    got = [np.asarray(logits[:, -1])]
+    for t in range(2, 6):
+        logits, cache = decode_fn(jnp.asarray(tokens[:, t:t + 1]), cache, t)
+        got.append(np.asarray(logits[:, -1]))
+
+    for step, (g, w) in enumerate(zip(got, ref_logits)):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=3e-5, err_msg=f"step {step}")
