@@ -209,6 +209,15 @@ def vit_apply(
     # per-region patch masks; the original full-attention rows get all-ones.
     local_bias = None
     if idx_to_group_img is not None and image_atts is not None:
+        if local_attn_depth <= 0:
+            # the grouped-copy gather happens at the local-attention
+            # boundary (same as the reference, clip_vit.py:301-311): with 0
+            # local layers no region rows exist and downstream bbox heads
+            # would see batch-0 tensors — fail loudly at trace time instead
+            raise ValueError(
+                "region batches (idx_to_group_img) require a vision config "
+                "with local_attn_depth > 0 (the reference uses 2-layer "
+                "local attention for region representations)")
         full_atts = jnp.ones((h.shape[0], h.shape[1]), jnp.float32)
         atts_blk = jnp.concatenate([image_atts.astype(jnp.float32), full_atts], axis=0)
         local_bias = make_attention_bias(atts_blk)

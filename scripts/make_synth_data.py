@@ -84,6 +84,26 @@ def main():
     json.dump(train, open(os.path.join(d, "train.json"), "w"))
     json.dump(val, open(os.path.join(d, "val.json"), "w"))
 
+    # Pretrain REGION stream (base64 images + per-element bboxes/captions,
+    # the RegionTextJsonDataset format for GD region interleave)
+    d = os.path.join(args.root, "synth_pt_regions")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part0.jsonl"), "w") as f:
+        for i in range(args.n):
+            img = Image.fromarray(np.uint8(rng.rand(64, 64, 3) * 255))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            f.write(json.dumps({
+                "binary": base64.b64encode(buf.getvalue()).decode(),
+                "caption": caption(rng, i),
+                "elems": [
+                    {"bb": [4, 4, 28, 28], "caption": f"a {WORDS[i % len(WORDS)]}"},
+                    {"bb": [24, 24, 36, 36],
+                     "caption": [f"the {WORDS[(i + 1) % len(WORDS)]}"],
+                     "attributes": "small"},
+                ],
+            }) + "\n")
+
     # Grounding
     d = os.path.join(args.root, "synth_ground")
     write_images(os.path.join(d, "imgs"), args.n, rng)
