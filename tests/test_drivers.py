@@ -394,3 +394,56 @@ def test_plain_pretrain_driver(tmp_path, args):
     out = gd.main(args, cfg)
     assert int(out["state"][2]) == 2
     assert os.path.exists(os.path.join(args["output_dir"], "training_state_latest.ckpt"))
+
+
+def test_gd_driver_region_interleave(tmp_path, args):
+    """GD with a region stream: bbox/GIoU losses through the grouped-batch
+    region step (with_bbox=True), interleaved with general steps."""
+    import base64
+    import io
+
+    from PIL import Image as PILImage
+
+    from efficientvlm_tpu.drivers import gd
+
+    rng = np.random.RandomState(0)
+
+    def write_stream(path, with_elems):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "part0.jsonl"), "w") as f:
+            for i in range(12):
+                img = PILImage.fromarray(np.uint8(rng.rand(64, 64, 3) * 255))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                row = {"binary": base64.b64encode(buf.getvalue()).decode(),
+                       "caption": f"a photo of dog number {i}"}
+                if with_elems:
+                    row["elems"] = [{"bb": [4, 4, 28, 28], "caption": "a dog"},
+                                    {"bb": [24, 24, 36, 36], "caption": ["the cat"],
+                                     "attributes": "small"}]
+                f.write(json.dumps(row) + "\n")
+
+    write_stream(str(tmp_path / "pt"), with_elems=False)
+    write_stream(str(tmp_path / "ptr"), with_elems=True)
+    cfg = tiny_config(
+        tmp_path,
+        train_file=[str(tmp_path / "pt")],
+        train_file_regions=[str(tmp_path / "ptr")],
+        train_dataset_size=12,
+        images={"image_key": "binary", "is_image_rpath": False, "caption_key": "caption",
+                "batch_size": 1},
+        regions={"image_key": "binary", "is_image_rpath": False, "caption_key": "caption",
+                 "iter_perc": 1.0, "batch_size": 1, "max_images": 1, "max_regions": 3,
+                 "min_perc_in_image": 0.5},
+        # the TEACHER forwards region batches too: it needs local attention
+        # as well (reference teacher config_clipvitB has local_attn_depth 2)
+        teacher_vision=VisionConfig.create(
+            vision_width=32, num_attention_heads=4, intermediate_size=64,
+            num_hidden_layers=4, image_res=32, patch_size=8, local_attn_depth=1,
+        ),
+        max_words=12, max_masks=3, mask_prob=0.25,
+        ckpt_frequent_step=10,
+    )
+    args = Config({**args, "max_steps": 2, "seed": 3})
+    out = gd.main(args, cfg)
+    assert int(out["state"][2]) == 2
