@@ -14,6 +14,10 @@ efficient_models/model_generation.py:
   train = weighted per-answer LM loss; eval = rank_answer k-way re-ranking,
   implemented as two batched decoder calls (a better fit for TPU than the
   reference's per-question loop).
+- XVLMForCrossGeneration (ref :445-583): multimodal translation — source
+  text fused with the image conditions a separate-vocab causal decoder.
+- TextTranslater (ref :585-716): text-only translation baseline (source
+  through the text-mode layers only; no vision tower).
 """
 
 from __future__ import annotations
@@ -346,3 +350,169 @@ class XVLMForVQA:
             params, qout["last_hidden"], question_atts, answer_ids, answer_atts,
             k, zs=zs, dtype=dtype, impl=impl,
         )
+
+
+def _make_translation_decoder_cfg(text_cfg: TextConfig, config: Config) -> TextConfig:
+    """Decoder over source embeds: fusion_layer=0 (every layer cross-attends),
+    num_dec_layers deep, K/V width = text hidden, its OWN target vocab
+    (the reference decodes into a chinese-roberta vocab — reference
+    models/model_generation.py:461-465)."""
+    num_dec = config.get(
+        "num_dec_layers", text_cfg["num_hidden_layers"] - text_cfg["fusion_layer"]
+    )
+    return TextConfig.create(
+        **{**{k: text_cfg[k] for k in TextConfig.DEFAULTS if k in text_cfg},
+           "fusion_layer": 0,
+           "num_hidden_layers": num_dec,
+           "encoder_width": text_cfg["hidden_size"],
+           "vocab_size": config.get("decoder_vocab_size", text_cfg["vocab_size"])},
+    )
+
+
+class _TranslationBase:
+    """Shared train/decode machinery of the two multimodal-translation models
+    (reference models/model_generation.py:445-716: XVLMForCrossGeneration /
+    TextTranslater differ only in how the source is encoded)."""
+
+    def __init__(self, text_cfg: TextConfig, config: Optional[Config]):
+        self.text_cfg = text_cfg
+        self.config = config or Config()
+        self.label_smoothing = self.config.get("label_smoothing", 0.0)
+        self.pad_token_id = self.config.get("pad_token_id", 0)
+        self.decoder_cfg = _make_translation_decoder_cfg(text_cfg, self.config)
+
+    # subclasses: encode_source(params, image, text_ids, text_atts, ...) -> (embeds, atts)
+
+    def forward(
+        self, params, image, text_ids, text_atts, target_ids, target_atts, *,
+        rng=None, train=False, dtype=None, impl="xla",
+    ):
+        """Target-side LM loss; pad positions AND the BOS token are masked to
+        -100 (reference model_generation.py:523-542 / :665-682)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        erng, drng = jax.random.split(rng)
+        src_embeds, src_atts = self.encode_source(
+            params, image, text_ids, text_atts, train=train, rng=erng,
+            dtype=dtype, impl=impl,
+        )
+        targets = jnp.where(target_ids == self.pad_token_id, -100, target_ids)
+        targets = targets.at[:, 0].set(-100)
+        out = B.bert_apply(
+            params["text_decoder"], target_ids, self.decoder_cfg,
+            attention_mask=target_atts, encoder_hidden=src_embeds,
+            encoder_attention_mask=src_atts, mode="multi_modal", is_decoder=True,
+            train=train, rng=drng, dtype=dtype, impl=impl,
+        )
+        logits = B.mlm_head_apply(
+            params["text_decoder"]["cls"], out["last_hidden"], self.decoder_cfg, dtype=dtype
+        )
+        return B.lm_loss(logits, targets, label_smoothing=self.label_smoothing)
+
+    def generate(
+        self, params, image, text_ids, text_atts, *, bos_id: int = 101,
+        eos_id: int = 102, pad_id: int = 0, max_length: int = 40,
+        min_length: int = 5, num_beams: int = 1, repetition_penalty: float = 1.0,
+        rng=None, dtype=None, impl="xla",
+    ) -> Array:
+        """Jittable greedy/beam decode over the source embeds (reference
+        model_generation.py:544-583 leans on HF generate; ours is the same
+        fixed-shape scan the captioning model uses)."""
+        src_embeds, src_atts = self.encode_source(
+            params, image, text_ids, text_atts, dtype=dtype, impl=impl
+        )
+        bsz = src_embeds.shape[0]
+        reps = num_beams if num_beams > 1 else 1
+        if reps > 1:
+            src_embeds = jnp.repeat(src_embeds, reps, axis=0)
+            src_atts = jnp.repeat(src_atts, reps, axis=0)
+        decode_fn = make_bert_decode_fn(
+            params["text_decoder"], self.decoder_cfg,
+            encoder_hidden=src_embeds, encoder_atts=src_atts, dtype=dtype, impl=impl,
+        )
+        cache = B.init_bert_cache(
+            params["text_decoder"], self.decoder_cfg, bsz * reps, max_length,
+            dtype=dtype or jnp.float32,
+        )
+        prompt = jnp.full((bsz, 1), bos_id, jnp.int32)
+        if num_beams > 1:
+            return generate_beam(
+                decode_fn, cache, prompt, num_beams=num_beams,
+                max_length=max_length, min_length=min_length, eos_id=eos_id,
+                pad_id=pad_id, repetition_penalty=repetition_penalty,
+            )
+        tokens, _ = generate_no_beam(
+            decode_fn, cache, prompt, max_length=max_length, min_length=min_length,
+            eos_id=eos_id, pad_id=pad_id, repetition_penalty=repetition_penalty, rng=rng,
+        )
+        return tokens
+
+
+class XVLMForCrossGeneration(_TranslationBase):
+    """Generation conditioned on CROSS-MODAL embeds (multimodal translation):
+    the source text runs the full multi_modal stack grounded in the image,
+    and a separate-vocab causal decoder cross-attends into those states
+    (reference models/model_generation.py:445-583)."""
+
+    def __init__(self, vision_cfg: VisionConfig, text_cfg: TextConfig,
+                 config: Optional[Config] = None):
+        super().__init__(text_cfg, config)
+        self.vision_cfg = vision_cfg
+
+    def init(self, key: Array) -> dict:
+        def _init(k):
+            k1, k2, k3 = jax.random.split(k, 3)
+            return {
+                "vision": V.init_vit(k1, self.vision_cfg),
+                "text": B.init_bert(k2, self.text_cfg, with_mlm_head=False),
+                "text_decoder": B.init_bert(k3, self.decoder_cfg, with_mlm_head=True),
+            }
+
+        return jax.jit(_init)(key)
+
+    def encode_source(self, params, image, text_ids, text_atts, *, train=False,
+                      rng=None, dtype=None, impl="xla"):
+        """get_cross_embeds with text_ids = full multi_modal encode over the
+        image (reference models/xvlm.py:405-422)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        vrng, trng = jax.random.split(rng)
+        vout = V.vit_apply(
+            params["vision"], image, self.vision_cfg, train=train, rng=vrng,
+            dtype=dtype, impl=impl,
+        )
+        image_embeds = vout["last_hidden"]
+        image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
+        tout = B.bert_apply(
+            params["text"], text_ids, self.text_cfg, attention_mask=text_atts,
+            encoder_hidden=image_embeds, encoder_attention_mask=image_atts,
+            mode="multi_modal", train=train, rng=trng, dtype=dtype, impl=impl,
+        )
+        return tout["last_hidden"], text_atts
+
+
+class TextTranslater(_TranslationBase):
+    """Text-only translation baseline: the source runs ONLY the text-mode
+    layers [0, fusion) — the reference notes its fusion layers stay unused —
+    and the decoder cross-attends into those states (reference
+    models/model_generation.py:585-716). No vision tower."""
+
+    def __init__(self, text_cfg: TextConfig, config: Optional[Config] = None):
+        super().__init__(text_cfg, config)
+
+    def init(self, key: Array) -> dict:
+        def _init(k):
+            k1, k2 = jax.random.split(k)
+            return {
+                "text": B.init_bert(k1, self.text_cfg, with_mlm_head=False),
+                "text_decoder": B.init_bert(k2, self.decoder_cfg, with_mlm_head=True),
+            }
+
+        return jax.jit(_init)(key)
+
+    def encode_source(self, params, image, text_ids, text_atts, *, train=False,
+                      rng=None, dtype=None, impl="xla"):
+        del image  # parity with the reference signature; unused
+        tout = B.bert_apply(
+            params["text"], text_ids, self.text_cfg, attention_mask=text_atts,
+            mode="text", train=train, rng=rng, dtype=dtype, impl=impl,
+        )
+        return tout["last_hidden"], text_atts

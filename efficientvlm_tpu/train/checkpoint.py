@@ -521,6 +521,58 @@ def captioning_params_from_state_dict(
     }
 
 
+def crossgen_params_from_state_dict(
+    sd: Dict[str, Array],
+    fresh: dict,
+    *,
+    vision_layers: Optional[int] = None,
+    text_layers: int,
+    fusion_layer: int,
+    num_dec_layers: Optional[int] = None,
+    num_patches: Optional[int] = None,
+) -> dict:
+    """XVLM checkpoint -> cross-generation / text-translation params
+    (reference model_generation.py:470-521 and :598-649 load_pretrained):
+    the source text encoder loads whole; decoder layer i is initialized from
+    text-encoder layer fusion_layer+i; the decoder's word embeddings and cls
+    head stay at their FRESH init (`fresh` = model.init tree — the target
+    vocab differs from the source's), and when the decoder's K/V width
+    differs from the text tower's cross width (dec_encoder_width !=
+    cross_encoder_width in the reference) the copied crossattention K/V are
+    also left fresh — detected here from the kernel shapes."""
+    num_dec_layers = num_dec_layers or (text_layers - fusion_layer)
+    text_sd = strip_bert_prefix(split_by_prefix(sd, "text_encoder."))
+    dec_sd = {}
+    for k, v in text_sd.items():
+        m = re.match(r"encoder\.layer\.(\d+)\.(.*)", k)
+        if m:
+            i = int(m.group(1))
+            if i >= fusion_layer and (i - fusion_layer) < num_dec_layers:
+                dec_sd[f"encoder.layer.{i - fusion_layer}.{m.group(2)}"] = v
+        else:
+            dec_sd[k] = v
+    decoder = bert_params_from_state_dict(dec_sd, num_dec_layers, 0, with_mlm_head=False)
+    fresh_dec = fresh["text_decoder"]
+    decoder["embeddings"]["word"] = fresh_dec["embeddings"]["word"]
+    decoder["cls"] = fresh_dec["cls"]
+    for i, layer in enumerate(decoder["layers"]):
+        for kv in ("k", "v"):
+            want = fresh_dec["layers"][i]["crossattention"][kv]["kernel"].shape
+            if layer["crossattention"][kv]["kernel"].shape != want:
+                layer["crossattention"][kv] = fresh_dec["layers"][i]["crossattention"][kv]
+    params = {
+        "text": bert_params_from_state_dict(
+            text_sd, text_layers, fusion_layer, with_mlm_head=False
+        ),
+        "text_decoder": decoder,
+    }
+    if vision_layers is not None and "vision" in fresh:
+        params["vision"] = vit_params_from_state_dict(
+            split_by_prefix(sd, "vision_encoder."), vision_layers, num_patches=num_patches
+        )
+    return params
+
+
 def nlvr_params_from_state_dict(
     sd: Dict[str, Array],
     *,
