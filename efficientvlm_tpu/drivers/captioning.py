@@ -180,6 +180,7 @@ def main(args: Config, config: Config) -> dict:
             print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
 
     base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    prof = common.StepProfiler(config, args.get("output_dir", ""))
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
         rng = jax.random.fold_in(base_rng, epoch)
@@ -194,7 +195,9 @@ def main(args: Config, config: Config) -> dict:
             }, mesh)
             rng, srng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, srng, tparams)
+            prof.tick(metrics)
             logger.update(**{k: float(v) for k, v in metrics.items()})
+        prof.close()
         logger.synchronize_between_processes()
         zs = l0.forward_deterministic({"loga": state.loga})
         results = evaluation(student, state.params, val_loader, tokenizer, config, zs=zs)

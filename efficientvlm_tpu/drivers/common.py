@@ -39,6 +39,51 @@ def setup(args: Config, config: Config) -> Config:
     return Config(info)
 
 
+class StepProfiler:
+    """jax.profiler trace capture over a window of train steps, driven by
+    config: `profile_dir` (path, or true => <output_dir>/trace),
+    `profile_start_step` (default 2 — past the compile), and
+    `profile_num_steps` (default 3). Upgrade over the reference's ad-hoc
+    time.time() probes (SURVEY §5.1): the trace shows per-op device time in
+    xprof/tensorboard. Rank 0 only; call tick(out) once per train step."""
+
+    def __init__(self, config: Config, output_dir: str = ""):
+        d = config.get("profile_dir")
+        if d is True or d == "true":
+            d = os.path.join(output_dir or ".", "trace")
+        self.dir = d if (d and get_rank() == 0) else None
+        self.start = int(config.get("profile_start_step", 2))
+        self.num = int(config.get("profile_num_steps", 3))
+        self._i = 0
+        self._active = False
+        self._done = False
+
+    def tick(self, step_out=None) -> None:
+        if not self.dir or self._done:
+            return
+        if self._i == self.start:
+            os.makedirs(self.dir, exist_ok=True)
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+        elif self._active and self._i >= self.start + self.num:
+            self._stop(step_out)
+        self._i += 1
+
+    def _stop(self, step_out=None) -> None:
+        from ..train.profiler import force_sync
+
+        if step_out is not None:
+            force_sync(step_out)  # the trace must include real execution
+        jax.profiler.stop_trace()
+        self._active = False
+        self._done = True
+        print(f"### profiler trace written to {self.dir}")
+
+    def close(self) -> None:
+        if self._active:
+            self._stop()
+
+
 def log_stats(stats: dict, output_dir: str, filename: str = "log.txt") -> None:
     """JSON-lines epoch log (reference pattern, Eff_Retrieval.py:518-525)."""
     if get_rank() != 0 or not output_dir:

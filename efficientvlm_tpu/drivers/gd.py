@@ -151,6 +151,7 @@ def main(args: Config, config: Config) -> dict:
     seed = int(args.get("seed", 42))
 
     logger = MetricLogger()
+    prof = common.StepProfiler(config, args.get("output_dir", ""))
     general_iter = iter(general_ds.batches())
     region_iter = iter(region_ds.batches(
         config.get("regions", {}).get("max_images", 48) * n_dev, n_shards=n_dev,
@@ -173,6 +174,7 @@ def main(args: Config, config: Config) -> dict:
         else:
             batch = common.place_batch({k: jnp.asarray(v) for k, v in next(general_iter).items()}, mesh)
             state, metrics = general_step(state, batch, srng, tparams)
+        prof.tick(metrics)
         logger.update(**{k: float(v) for k, v in metrics.items()})
         if (step + 1) % ckpt_freq == 0 and args.get("output_dir"):
             if get_rank() == 0:
@@ -196,6 +198,7 @@ def main(args: Config, config: Config) -> dict:
                  **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},
                 args["output_dir"],
             )
+    prof.close()
     if args.get("output_dir"):
         if get_rank() == 0:
             ckpt_io.Checkpointer(args["output_dir"]).save_checkpoint(

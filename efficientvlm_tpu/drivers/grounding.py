@@ -150,6 +150,7 @@ def main(args: Config, config: Config) -> dict:
             print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
 
     base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    prof = common.StepProfiler(config, args.get("output_dir", ""))
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
         rng = jax.random.fold_in(base_rng, epoch)
@@ -165,7 +166,9 @@ def main(args: Config, config: Config) -> dict:
             }, mesh)
             rng, srng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, srng, {})
+            prof.tick(metrics)
             logger.update(**{k: float(v) for k, v in metrics.items()})
+        prof.close()
         logger.synchronize_between_processes()
         common.log_stats(
             {"epoch": epoch, **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},

@@ -199,6 +199,7 @@ def main(args: Config, config: Config) -> dict:
     start_eval = int(config.get("start_eval", 0))
     base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
     frozen_zs = None
+    prof = common.StepProfiler(config, args.get("output_dir", ""))
     for epoch in range(start_epoch, epochs):
         if (stop_prune_epoch is not None and epoch >= int(stop_prune_epoch)
                 and frozen_zs is None):
@@ -223,7 +224,9 @@ def main(args: Config, config: Config) -> dict:
             }, mesh)
             rng, srng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, srng, tparams)
+            prof.tick(metrics)
             logger.update(**{k: float(v) for k, v in metrics.items()})
+        prof.close()
         logger.synchronize_between_processes()
         common.log_stats(
             {"epoch": epoch, **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},
