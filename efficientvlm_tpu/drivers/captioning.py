@@ -34,6 +34,26 @@ def build_models(config: Config):
     return XVLMForCaptioning(vcfg, tcfg, config), XVLMForCaptioning(tv, tt, config)
 
 
+def load_torch_params(model, ckpt_path, load_capt_pretrain: bool = False):
+    """Import a reference torch/HF captioning checkpoint for `model`
+    (reference EffXVLMForCaptioning.load_pretrained remaps). Returns None
+    when the path is absent. Shared by the driver and scripts/infer.py."""
+    import os as _os
+
+    from ..train import checkpoint as ckpt_io
+
+    if not (ckpt_path and _os.path.exists(ckpt_path)):
+        return None
+    sd = ckpt_io.load_torch_state_dict(ckpt_path)
+    return ckpt_io.captioning_params_from_state_dict(
+        sd, vision_layers=model.vision_cfg["num_hidden_layers"],
+        text_layers=model.text_cfg["num_hidden_layers"],
+        fusion_layer=model.text_cfg["fusion_layer"],
+        num_patches=model.vision_cfg.num_patches,
+        load_capt_pretrain=load_capt_pretrain,
+    )
+
+
 def build_l0(config: Config) -> XVLML0Module:
     vcfg, tcfg = common.model_configs(config)
     return XVLML0Module(
@@ -87,19 +107,9 @@ def main(args: Config, config: Config) -> dict:
     student.prompt_length = prompt_len
     teacher.prompt_length = prompt_len
     def load_capt(model, ckpt_path):
-        import os as _os
-        from ..train import checkpoint as ckpt_io
-
-        if not (ckpt_path and _os.path.exists(ckpt_path)):
-            return None
-        sd = ckpt_io.load_torch_state_dict(ckpt_path)
-        return ckpt_io.captioning_params_from_state_dict(
-            sd, vision_layers=model.vision_cfg["num_hidden_layers"],
-            text_layers=model.text_cfg["num_hidden_layers"],
-            fusion_layer=model.text_cfg["fusion_layer"],
-            num_patches=model.vision_cfg.num_patches,
-            load_capt_pretrain=bool(args.get("load_capt_pretrain")),
-        )
+        return load_torch_params(
+            model, ckpt_path,
+            load_capt_pretrain=bool(args.get("load_capt_pretrain")))
 
     sparams = load_capt(student, args.get("checkpoint")) or student.init(jax.random.PRNGKey(0))
     tparams = load_capt(teacher, args.get("teacher_chkpt")) or teacher.init(jax.random.PRNGKey(1))

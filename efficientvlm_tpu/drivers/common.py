@@ -57,6 +57,7 @@ class StepProfiler:
         self._i = 0
         self._active = False
         self._done = False
+        self._last = None  # latest step output, for syncing a cut-short window
 
     def tick(self, step_out=None) -> None:
         if not self.dir or self._done:
@@ -67,19 +68,29 @@ class StepProfiler:
             self._active = True
         elif self._active and self._i >= self.start + self.num:
             self._stop(step_out)
+        if self._active:
+            self._last = step_out
         self._i += 1
 
     def _stop(self, step_out=None) -> None:
         from ..train.profiler import force_sync
 
+        if step_out is None:
+            step_out = self._last
         if step_out is not None:
-            force_sync(step_out)  # the trace must include real execution
+            # the trace must include real execution: on the tunneled backend
+            # block_until_ready returns before the device finishes, so sync
+            # by host-fetching the step output (train/profiler.force_sync)
+            force_sync(step_out)
         jax.profiler.stop_trace()
         self._active = False
         self._done = True
+        self._last = None
         print(f"### profiler trace written to {self.dir}")
 
     def close(self) -> None:
+        """Flush at epoch/run end: a window cut short by an epoch boundary
+        still syncs and writes what it captured."""
         if self._active:
             self._stop()
 

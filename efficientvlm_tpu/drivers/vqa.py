@@ -35,6 +35,27 @@ def build_models(config: Config):
     return student, teacher
 
 
+def load_torch_params(model, ckpt_path):
+    """Import a reference torch/HF VQA checkpoint for `model` (reference
+    EffXVLMForVQA.load_pretrained remaps incl. decoder-from-cross init).
+    Returns None when the path is absent. Shared by the driver and
+    scripts/infer.py."""
+    import os as _os
+
+    from ..train import checkpoint as ckpt_io
+
+    if not (ckpt_path and _os.path.exists(ckpt_path)):
+        return None
+    sd = ckpt_io.load_torch_state_dict(ckpt_path)
+    return ckpt_io.vqa_params_from_state_dict(
+        sd, vision_layers=model.vision_cfg["num_hidden_layers"],
+        text_layers=model.text_cfg["num_hidden_layers"],
+        fusion_layer=model.text_cfg["fusion_layer"],
+        num_dec_layers=model.decoder_cfg["num_hidden_layers"],
+        num_patches=model.vision_cfg.num_patches,
+    )
+
+
 def build_l0(config: Config) -> VQAL0Module:
     vcfg, tcfg = common.model_configs(config)
     return VQAL0Module(
@@ -87,19 +108,7 @@ def main(args: Config, config: Config) -> dict:
     student, teacher = build_models(config)
 
     def load_vqa(model, ckpt_path):
-        import os as _os
-        from ..train import checkpoint as ckpt_io
-
-        if not (ckpt_path and _os.path.exists(ckpt_path)):
-            return None
-        sd = ckpt_io.load_torch_state_dict(ckpt_path)
-        return ckpt_io.vqa_params_from_state_dict(
-            sd, vision_layers=model.vision_cfg["num_hidden_layers"],
-            text_layers=model.text_cfg["num_hidden_layers"],
-            fusion_layer=model.text_cfg["fusion_layer"],
-            num_dec_layers=model.decoder_cfg["num_hidden_layers"],
-            num_patches=model.vision_cfg.num_patches,
-        )
+        return load_torch_params(model, ckpt_path)
 
     sparams = load_vqa(student, args.get("checkpoint")) or student.init(jax.random.PRNGKey(0))
     tparams = load_vqa(teacher, args.get("teacher_chkpt")) or teacher.init(jax.random.PRNGKey(1))

@@ -32,6 +32,15 @@ import jax
 
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
     jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon,cpu
+else:
+    # On the tunneled TPU backend a downed relay makes jax.devices() HANG
+    # (it retries forever) — probe first and fail loudly instead.
+    from efficientvlm_tpu.utils.tunnel import relay_alive
+
+    if not relay_alive():
+        raise SystemExit(
+            "TPU tunnel (127.0.0.1:8083) is unreachable; jax.devices() would "
+            "hang. Re-run with JAX_PLATFORMS=cpu or restore the relay.")
 
 from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -40,11 +49,10 @@ enable_persistent_cache()
 import jax.numpy as jnp
 import numpy as np
 
-from efficientvlm_tpu.config import Config, load_task_config
+from efficientvlm_tpu.config import load_task_config
 from efficientvlm_tpu.data.tokenizer import build_tokenizer
 from efficientvlm_tpu.data.transforms import ImageTransform
 from efficientvlm_tpu.data.datasets import load_transformed
-from efficientvlm_tpu.drivers import common
 
 
 def _load_images(paths, transform, image_root=""):
@@ -52,6 +60,33 @@ def _load_images(paths, transform, image_root=""):
         np.asarray(load_transformed(transform, p, is_path=True, image_root=image_root))
         for p in paths
     ]))
+
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".gif", ".webp")
+
+
+def _load_params_and_gates(model, l0, ckpt_path, torch_loader):
+    """Load a checkpoint ONCE and return (params, eval zs).
+
+    Native .ckpt (dense snapshot / physical export / full training state):
+    one msgpack read yields both the model tree and the stored gates
+    (deterministic masks when trained log-alphas are present, None for
+    gate-free trees — reference load_pruned_model semantics). A torch
+    `.th`/HF `.bin` goes through the task-specific driver remap (the
+    generic XVLM pretrain remap has no text_decoder subtree)."""
+    from efficientvlm_tpu.train import checkpoint as ckpt_io
+
+    if not os.path.exists(ckpt_path):
+        raise SystemExit(f"--checkpoint not found: {ckpt_path}")
+    if ckpt_path.endswith(".ckpt"):
+        params, gates = ckpt_io.extract_model_and_gates(ckpt_io.load_params(ckpt_path))
+        zs = (l0.forward_deterministic({"loga": gates["loga"]})
+              if gates is not None else None)
+        return params, zs
+    params = torch_loader(model, ckpt_path)
+    if params is None:
+        raise SystemExit(f"could not import torch checkpoint: {ckpt_path}")
+    return params, None
 
 
 def _batches(seq, n):
@@ -81,18 +116,15 @@ def main():
     transform = ImageTransform.test(image_res)
     impl = config.get("attn_impl", "fused")
     dtype = jnp.bfloat16 if config.get("compute_dtype", "bf16") == "bf16" else None
-    cargs = Config({"checkpoint": args.checkpoint})
 
     results = []
     if args.task == "caption":
-        from efficientvlm_tpu.drivers.captioning import build_l0, build_models
+        from efficientvlm_tpu.drivers.captioning import (
+            build_l0, build_models, load_torch_params)
 
         model, _ = build_models(config)
-        if not os.path.exists(args.checkpoint):
-            raise SystemExit(f"--checkpoint not found: {args.checkpoint}")
-        params = common.maybe_load_params(model, cargs, Config({}), lambda: None)
-        zs = (common.native_eval_gates(build_l0(config), cargs, Config({}))
-              if common.is_native_checkpoint(cargs, Config({})) else None)
+        params, zs = _load_params_and_gates(
+            model, build_l0(config), args.checkpoint, load_torch_params)
         prompt = config.get("prompt", "a picture of ")
         prompt_ids = tokenizer([prompt])["input_ids"][:, :-1]
         model.prompt_length = prompt_ids.shape[1]
@@ -103,7 +135,10 @@ def main():
             eos_id=tokenizer.sep_token_id, pad_id=tokenizer.pad_token_id,
             zs=zs, dtype=dtype, impl=impl))
         if os.path.isdir(args.images):
-            paths = sorted(os.listdir(args.images))
+            paths = sorted(
+                p for p in os.listdir(args.images)
+                if p.lower().endswith(_IMAGE_EXTS)
+                and os.path.isfile(os.path.join(args.images, p)))
             root = args.images
         else:
             paths, root = [p for p in args.images.split(",") if p], args.image_root
@@ -116,14 +151,12 @@ def main():
                 cap = cap[len(prompt.strip()):].strip() if cap.startswith(prompt.strip()) else cap
                 results.append({"image": p, "caption": cap})
     else:  # vqa
-        from efficientvlm_tpu.drivers.vqa import build_l0, build_models
+        from efficientvlm_tpu.drivers.vqa import (
+            build_l0, build_models, load_torch_params)
 
         model, _ = build_models(config)
-        if not os.path.exists(args.checkpoint):
-            raise SystemExit(f"--checkpoint not found: {args.checkpoint}")
-        params = common.maybe_load_params(model, cargs, Config({}), lambda: None)
-        zs = (common.native_eval_gates(build_l0(config), cargs, Config({}))
-              if common.is_native_checkpoint(cargs, Config({})) else None)
+        params, zs = _load_params_and_gates(
+            model, build_l0(config), args.checkpoint, load_torch_params)
         answers = json.load(open(args.answer_list or config["answer_list"]))
         ans_tok = tokenizer([a + "[SEP]" for a in answers], padding="longest",
                             truncation=True, max_length=20)

@@ -41,6 +41,22 @@ def test_step_profiler_disabled_by_default(tmp_path):
     assert os.listdir(tmp_path) == []
 
 
+def test_step_profiler_truncated_window_flushes(tmp_path):
+    """A window cut short by the epoch boundary still syncs the last step
+    output and writes the partial trace (close() flush path)."""
+    cfg = Config({"profile_dir": True, "profile_start_step": 1,
+                  "profile_num_steps": 100})
+    prof = common.StepProfiler(cfg, str(tmp_path))
+    f = jax.jit(lambda x: x * 3.0)
+    for _ in range(3):  # window opens at step 1 and never completes
+        prof.tick({"loss": f(jnp.ones((4,)))})
+    assert prof._active
+    prof.close()
+    assert prof._done and not prof._active
+    found = [n for _, _, fs in os.walk(prof.dir) for n in fs if n.endswith(".xplane.pb")]
+    assert found, f"truncated window wrote no trace under {prof.dir}"
+
+
 def test_step_profiler_explicit_dir(tmp_path):
     d = str(tmp_path / "mytrace")
     prof = common.StepProfiler(Config({"profile_dir": d, "profile_start_step": 0,
