@@ -68,6 +68,40 @@ def test_infer_caption_native_ckpt(tmp_path, capt_params):
     assert all(set(r) == {"image", "caption"} for r in results)
 
 
+def test_infer_vqa_native_ckpt(tmp_path):
+    from efficientvlm_tpu.drivers.vqa import build_models
+
+    config = load_task_config(os.path.join(REPO, "configs/tests/VQA_synth.yaml"),
+                              repo_root=REPO)
+    student, _ = build_models(config)
+    ckpt = str(tmp_path / "export.ckpt")
+    ckpt_io.save_pytree(ckpt, student.init(jax.random.PRNGKey(0)))
+    _make_images(str(tmp_path / "imgs"), n=2)
+    reqs = [{"image": "img_0.jpg", "question": "what color is it?"},
+            {"image": "img_1.jpg", "question": "how many dogs?"}]
+    with open(tmp_path / "reqs.json", "w") as f:
+        json.dump(reqs, f)
+    answers = ["red", "blue", "two", "none"]
+    with open(tmp_path / "answers.json", "w") as f:
+        json.dump(answers, f)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/infer.py"),
+         "--task", "vqa", "--checkpoint", ckpt,
+         "--config", "configs/tests/VQA_synth.yaml",
+         "--requests", str(tmp_path / "reqs.json"),
+         "--answer_list", str(tmp_path / "answers.json"),
+         "--image_root", str(tmp_path / "imgs"),
+         "--out", str(tmp_path / "out.json")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert r.returncode == 0, f"stdout:\n{r.stdout[-2000:]}\nstderr:\n{r.stderr[-2000:]}"
+    with open(tmp_path / "out.json") as f:
+        results = json.load(f)
+    assert len(results) == 2
+    assert all(res["answer"] in answers for res in results)
+
+
 def test_infer_caption_torch_th(tmp_path, capt_params):
     import torch
 
