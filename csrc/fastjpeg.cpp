@@ -85,6 +85,10 @@ bool decode_resize_impl(const unsigned char* data, size_t len, int out_h,
                         int out_w, std::vector<unsigned char>* out, char* msg) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // constructed BEFORE setjmp: a mid-decode longjmp (truncated/corrupt
+  // JPEGs in a dirty pretrain stream) must not skip the destructor — the
+  // error return path below then frees it like any normal exit
+  std::vector<unsigned char> buf;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.jmp)) {
@@ -109,7 +113,7 @@ bool decode_resize_impl(const unsigned char* data, size_t len, int out_h,
 
   jpeg_start_decompress(&cinfo);
   int sh = cinfo.output_height, sw = cinfo.output_width;
-  std::vector<unsigned char> buf(static_cast<size_t>(sh) * sw * 3);
+  buf.resize(static_cast<size_t>(sh) * sw * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = buf.data() + static_cast<size_t>(cinfo.output_scanline) * sw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);

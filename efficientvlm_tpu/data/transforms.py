@@ -83,9 +83,11 @@ class ImageTransform:
         randaug: bool = True,
         randaug_ops: Optional[list] = None,
         seed: Optional[int] = None,
+        native_decode: bool = False,
     ):
         self.image_res = image_res
         self.mode = mode
+        self.native_decode = native_decode
         self.hflip = hflip
         self.scale = scale or ((0.2, 1.0) if mode == "pretrain" else (0.5, 1.0))
         self.rng = np.random.default_rng(seed)
@@ -114,8 +116,14 @@ class ImageTransform:
         )
 
     @classmethod
-    def test(cls, image_res: int):
-        return cls(image_res, mode="test", hflip=False, randaug=False)
+    def test(cls, image_res: int, native_decode: bool = False):
+        """Eval protocol transform. Default is the exact reference protocol
+        (full PIL decode + BICUBIC resize); `native_decode=True` opts into
+        the 2-4x-faster libjpeg DCT-scaled decode + bilinear finish, which
+        is a documented approximation (mean pixel diff ~1e-2 normalized) —
+        config key `native_eval_decode` in the drivers."""
+        return cls(image_res, mode="test", hflip=False, randaug=False,
+                   native_decode=native_decode)
 
     @classmethod
     def uint8(cls, image_res: int, margin: float = 1.15):
@@ -128,10 +136,15 @@ class ImageTransform:
     @property
     def native_decode_size(self) -> Optional[int]:
         """Square decode target for modes whose first op is a plain
-        (aspect-distorting) Resize((res, res)) — test and uint8
-        device-preprocess. Crop-based train modes return None: they need
+        (aspect-distorting) Resize((res, res)). uint8 device-preprocess
+        always qualifies (train augmentation follows in-graph, the
+        approximation washes out); test mode only when explicitly opted in
+        (`native_decode=True`) — eval metrics default to the exact PIL
+        BICUBIC protocol. Crop-based train modes return None: they need
         the full-resolution source for RandomResizedCrop statistics."""
-        return self.image_res if self.mode in ("uint8", "test") else None
+        if self.mode == "uint8" or (self.mode == "test" and self.native_decode):
+            return self.image_res
+        return None
 
     def from_decoded(self, arr: np.ndarray) -> np.ndarray:
         """Finish the pipeline on an already decoded+resized uint8 HWC

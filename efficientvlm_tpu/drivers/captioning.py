@@ -116,7 +116,7 @@ def main(args: Config, config: Config) -> dict:
     l0 = build_l0(config)
     l0_params = l0.init(jax.random.PRNGKey(2))
 
-    val_ds = CaptioningEvalDataset(config["val_file"], ImageTransform.test(image_res), config.get("image_root", ""))
+    val_ds = CaptioningEvalDataset(config["val_file"], common.eval_transform(config, image_res), config.get("image_root", ""))
     val_loader = SimpleLoader(val_ds, batch_size=config.get("batch_size_test", 16),
                               rank=info["rank"], world_size=info["world_size"])
 

@@ -137,6 +137,18 @@ def teacher_configs(config: Config) -> Tuple[VisionConfig, TextConfig]:
     return tv, tt
 
 
+def resolve_warmup(num_warmup_steps, accum: int):
+    """Warmup for the update-count schedule under gradient accumulation.
+    A float < 1 is a FRACTION of total updates (reference scheduler.py) —
+    it rescales with the shrunk update count by itself; only absolute step
+    counts divide by the accumulation factor. Truncating the fraction
+    through int() would silently disable warmup for every shipped
+    fine-tune config (num_warmup_steps: 0.1)."""
+    if isinstance(num_warmup_steps, float) and num_warmup_steps < 1:
+        return num_warmup_steps
+    return int(num_warmup_steps) // accum
+
+
 def build_optimizers(params, config: Config, total_steps: int, *, init_param_paths=()):
     opt_cfg = config.get("optimizer", Config())
     sched_cfg = config.get("schedular", Config())
@@ -148,7 +160,7 @@ def build_optimizers(params, config: Config, total_steps: int, *, init_param_pat
     sched = create_scheduler(
         lr=float(opt_cfg.get("lr", 1e-4)),
         num_training_steps=max(total_steps // accum, 1),
-        num_warmup_steps=int(sched_cfg.get("num_warmup_steps", 0)) // accum,
+        num_warmup_steps=resolve_warmup(sched_cfg.get("num_warmup_steps", 0), accum),
     )
     main = create_optimizer(
         params,
@@ -226,9 +238,15 @@ def native_eval_gates(l0, args: Config, config: Config):
     l0.forward_deterministic over the stored gates when present, and None
     (dense program) only for gate-free trees — a physically sliced export
     (gates already folded in, reference load_pruned_model) or a pretrain
-    state."""
-    ckpt = args.get("checkpoint") or config.get("checkpoint")
-    _, gates = ckpt_io.extract_model_and_gates(ckpt_io.load_params(str(ckpt)))
+    state. load_params memoizes the tree, so the read maybe_load_params
+    already did is shared, not repeated."""
+    ckpt = str(args.get("checkpoint") or config.get("checkpoint"))
+    if not os.path.exists(ckpt):
+        # mirror maybe_load_params' existence check: a missing path there
+        # silently fresh-inits, which would make a FileNotFoundError here
+        # point at the wrong cause
+        raise SystemExit(f"--checkpoint not found: {ckpt}")
+    _, gates = ckpt_io.extract_model_and_gates(ckpt_io.load_params(ckpt))
     if gates is None:
         return None
     return l0.forward_deterministic({"loga": gates["loga"]})
@@ -376,17 +394,38 @@ def place_batch(batch: dict, mesh) -> dict:
 
 
 def maybe_parallel_loader(loader, config: Config, *, num_workers: Optional[int] = None):
-    """Wrap a map-style train loader in the thread worker pool (the
-    DataLoader-num_workers analogue) when the host has cores to spare.
-    Worker pools only help with >1 core: on a single-core host the GIL/IPC
-    overhead makes them 20-50% SLOWER (scripts/bench_input_pipeline.py)."""
+    """Wrap a map-style train loader in a worker pool (the DataLoader
+    num_workers analogue) when the host has cores to spare.
+
+    Default backend is the THREAD pool: PIL codecs and the native JPEG
+    decoder drop the GIL, so decode-heavy loads scale, and threads are safe
+    regardless of when the JAX client initialized. `loader_backend: process`
+    opts into the forked worker-process pool (scales Python-side numpy
+    augmentation too) — but forking after the TPU client is live is a known
+    deadlock risk, so it is never the default. Worker pools only help with
+    >1 core: on a single-core host the GIL/IPC overhead makes them 20-50%
+    SLOWER (scripts/bench_input_pipeline.py)."""
     n = int(config.get("num_workers", 4) if num_workers is None else num_workers)
     if n > 1 and (os.cpu_count() or 1) > 2 and hasattr(loader, "batch_size"):
-        from ..data.prefetch import ProcessMapLoader
+        if config.get("loader_backend", "thread") == "process":
+            from ..data.prefetch import ProcessMapLoader
 
-        return ProcessMapLoader(loader, num_workers=n,
-                                seed=int(config.get("seed", 42)))
+            return ProcessMapLoader(loader, num_workers=n,
+                                    seed=int(config.get("seed", 42)))
+        from ..data.prefetch import ParallelMapLoader
+
+        return ParallelMapLoader(loader, num_workers=n)
     return loader
+
+
+def eval_transform(config: Config, image_res: int):
+    """The eval-protocol transform: exact PIL BICUBIC by default;
+    `native_eval_decode: true` opts into the libjpeg DCT-scaled fast path
+    (documented approximation — see ImageTransform.test)."""
+    from ..data.transforms import ImageTransform
+
+    return ImageTransform.test(
+        image_res, native_decode=bool(config.get("native_eval_decode")))
 
 
 def preprocess_transform(config: Config, *, default=None):

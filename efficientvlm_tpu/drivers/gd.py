@@ -145,7 +145,10 @@ def main(args: Config, config: Config) -> dict:
     region_step = common.data_parallel_step(
         make_step(with_bbox=True), with_teacher=True)[0] if region_ds is not None else None
 
-    base_rng = jax.random.PRNGKey(int(args.get("seed", 42)) + info["rank"])
+    # rank-independent: rng rides the jitted shard_map as a REPLICATED input
+    # (P() spec) — every process must supply the same value, and the step's
+    # per-shard fold_in(axis_index) already decorrelates device shards.
+    base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
     ckpt_freq = int(config.get("ckpt_frequent_step", 10000))
     max_steps = int(args.get("max_steps") or total_steps)
     seed = int(args.get("seed", 42))

@@ -79,7 +79,7 @@ def main(args: Config, config: Config) -> dict:
     l0_params = l0.init(jax.random.PRNGKey(2))
 
     test_ds = GroundingBboxDataset(
-        config["test_file"], ImageTransform.test(image_res), config.get("image_root", ""),
+        config["test_file"], common.eval_transform(config, image_res), config.get("image_root", ""),
         image_res=image_res, mode="test",
     )
     test_loader = SimpleLoader(test_ds, batch_size=config.get("batch_size_test", 16),

@@ -69,7 +69,7 @@ def main(args: Config, config: Config) -> dict:
     image_res = config.get("image_res", 384)
     tform_train = common.preprocess_transform(
         config, default=ImageTransform.train(image_res, seed=args.get("seed", 42)))
-    tform_test = ImageTransform.test(image_res)
+    tform_test = common.eval_transform(config, image_res)
 
     student, teacher = build_models(config)
 

@@ -108,11 +108,11 @@ def main(args: Config, config: Config) -> dict:
     )
     train_loader = common.maybe_parallel_loader(train_loader, config)
     val_ds = RetrievalEvalDataset(
-        config["val_file"], ImageTransform.test(image_res), config.get("image_root", ""),
+        config["val_file"], common.eval_transform(config, image_res), config.get("image_root", ""),
     )
     val_loader = SimpleLoader(val_ds, batch_size=config.get("batch_size_test", 24))
     test_ds = RetrievalEvalDataset(
-        config["test_file"], ImageTransform.test(image_res), config.get("image_root", ""),
+        config["test_file"], common.eval_transform(config, image_res), config.get("image_root", ""),
     )
     test_loader = SimpleLoader(test_ds, batch_size=config.get("batch_size_test", 24))
 

@@ -116,7 +116,7 @@ def main(args: Config, config: Config) -> dict:
     l0_params = l0.init(jax.random.PRNGKey(2))
 
     test_ds = VQADataset(
-        config["test_file"], ImageTransform.test(image_res),
+        config["test_file"], common.eval_transform(config, image_res),
         config.get("vqa_root", ""), config.get("vg_root", ""), split="test",
         answer_list=config.get("answer_list", ""),
     )

@@ -718,14 +718,28 @@ def _relist(node):
     return node
 
 
+_LOAD_MEMO = {"key": None, "tree": None}
+
+
 def load_params(path: str):
     """Template-free load of a params-only checkpoint (the
     scripts/export_pruned.py output, reference load_pruned_model
     xvlm_utils.py:283-299). flax to_state_dict stringifies list indices
     ("layers": [..] -> {"0": ..}); re-materialize contiguous digit-keyed
     dicts as lists so model apply fns can index layers directly. Dtypes
-    (incl. int8 quantized leaves) pass through untouched."""
-    return _relist(load_pytree(path))
+    (incl. int8 quantized leaves) pass through untouched.
+
+    One-entry memo keyed by (path, mtime, size): eval entry points read the
+    same checkpoint for params and then again for gates — the second call
+    returns the SAME tree (shared arrays, no copy) instead of re-reading a
+    potentially multi-GB msgpack."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    if _LOAD_MEMO["key"] == key:
+        return _LOAD_MEMO["tree"]
+    tree = _relist(load_pytree(path))
+    _LOAD_MEMO["key"], _LOAD_MEMO["tree"] = key, tree
+    return tree
 
 
 def extract_model_and_gates(tree):

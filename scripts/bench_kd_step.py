@@ -183,7 +183,7 @@ def phase_student_update(batch=16, image_res=224, iters=8, impl="xla"):
     print(json.dumps({"phase": "student_update", "ms": round(dt * 1e3, 2)}))
 
 
-def main(batch=16, image_res=224):
+def main(batch=16, image_res=224, impl="xla"):
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
@@ -193,7 +193,8 @@ def main(batch=16, image_res=224):
         # minutes depending on tunnel/helper load — budget generously; warm
         # runs hit the persistent compile cache and finish in ~1 min
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--phase", phase, str(batch)],
+            [sys.executable, os.path.abspath(__file__), "--phase", phase,
+             str(batch), "--impl", impl],
             capture_output=True, text=True, timeout=2000, env=env, cwd=here,
         )
         got = None
@@ -212,6 +213,7 @@ def main(batch=16, image_res=224):
         "unit": "ms",
         "batch": batch,
         "image_res": image_res,
+        "impl": impl,
         "teacher_fwd_ms": total["teacher_fwd"],
         "student_update_ms": total["student_update"],
         "pairs_per_sec": round(batch / ((total["teacher_fwd"] + total["student_update"]) / 1e3), 1),
@@ -229,4 +231,4 @@ if __name__ == "__main__":
         b = int(sys.argv[sys.argv.index("--phase") + 2]) if len(sys.argv) > sys.argv.index("--phase") + 2 else 16
         {"teacher_fwd": phase_teacher_fwd, "student_update": phase_student_update}[phase](batch=b, impl=impl)
     else:
-        main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 16)
+        main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 16, impl=impl)

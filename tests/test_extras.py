@@ -103,6 +103,30 @@ def test_io_shims(tmp_path):
     assert len(files) == 2
 
 
+def test_fractional_warmup_survives_build_optimizers():
+    """num_warmup_steps: 0.1 (every shipped fine-tune config) is a FRACTION
+    of total updates (reference scheduler.py) — build_optimizers must not
+    truncate it to int(0.1)=0, which silently disables LR warmup."""
+    from efficientvlm_tpu.drivers.common import resolve_warmup
+    from efficientvlm_tpu.train.scheduler import create_scheduler
+
+    # fraction passes through untouched (it rescales with the shrunk
+    # update count by itself)
+    assert resolve_warmup(0.1, accum=1) == 0.1
+    assert resolve_warmup(0.1, accum=4) == 0.1
+    # absolute step counts divide by the accumulation factor
+    assert resolve_warmup(20, accum=2) == 10
+    assert resolve_warmup(2500, accum=1) == 2500
+
+    lr = 3e-5
+    sched = create_scheduler(lr=lr, num_training_steps=100,
+                             num_warmup_steps=resolve_warmup(0.1, accum=1))
+    # warmup = 10 updates: lr ramps linearly, full lr only at update 10
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(5)), lr * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), lr, rtol=1e-6)
+
+
 def test_grad_accumulation_matches_big_batch():
     """accelerator.GRAD_ACCUMULATE_STEPS=k (optax.MultiSteps in
     build_optimizers): k micro-batch steps == one k-times-larger-batch step

@@ -49,7 +49,16 @@ def test_load_transformed_test_mode(tmp_path):
     p = tmp_path / "img.jpg"
     p.write_bytes(data)
 
-    tform = ImageTransform.test(224)
+    # eval protocol default: EXACT PIL BICUBIC (no native approximation)
+    exact = ImageTransform.test(224)
+    assert exact.native_decode_size is None
+    ref = exact(Image.open(io.BytesIO(data)))
+    got = load_transformed(exact, "img.jpg", is_path=True, image_root=str(tmp_path))
+    np.testing.assert_array_equal(got, ref)
+
+    # native_eval_decode opt-in: DCT-scaled decode + bilinear, small diff
+    tform = ImageTransform.test(224, native_decode=True)
+    assert tform.native_decode_size == 224
     fast = load_transformed(tform, "img.jpg", is_path=True, image_root=str(tmp_path))
     slow = tform(Image.open(io.BytesIO(data)))
     assert fast.shape == slow.shape and fast.dtype == slow.dtype == np.float32
