@@ -181,13 +181,15 @@ def main(args: Config, config: Config) -> dict:
             ), config,
         ), config, state, with_teacher=True)
 
-    start_epoch = 0
+    start_epoch, resume_batches = 0, 0
     if args.get("resume") and args.get("output_dir"):
         restored = common.restore_full_state(args["output_dir"], state)
         if restored is not None:
             state, extra = restored
             start_epoch = int(extra.get("epoch", -1)) + 1
-            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
+            resume_batches = int(extra.get("batches_done", 0))
+            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)"
+                  + (f" at batch {resume_batches}" if resume_batches else ""))
 
     base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
     prof = common.StepProfiler(config, args.get("output_dir", ""))
@@ -195,18 +197,23 @@ def main(args: Config, config: Config) -> dict:
         train_loader.set_epoch(epoch)
         rng = jax.random.fold_in(base_rng, epoch)
         logger = MetricLogger()
-        for images, captions, _ in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
+        def make_batch(items):
+            images, captions, _ = items
             tok = tokenizer(list(captions), padding="max_length", truncation=True,
                             max_length=config.get("max_tokens", 30))
-            batch = common.place_batch({
+            return common.place_batch({
                 "image": jnp.asarray(images),
                 "caption_ids": jnp.asarray(tok["input_ids"]),
                 "caption_atts": jnp.asarray(tok["attention_mask"]),
             }, mesh)
-            rng, srng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, srng, tparams)
-            prof.tick(metrics)
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+
+        state = common.run_train_epoch(
+            train_loader, logger, step_fn, state, rng, make_batch, prof,
+            epoch=epoch, output_dir=args.get("output_dir", ""),
+            teacher_params=tparams,
+            resume_batches=resume_batches if epoch == start_epoch else 0,
+            header=f"Train Epoch: [{epoch}]",
+        )
         prof.close()
         logger.synchronize_between_processes()
         zs = l0.forward_deterministic({"loga": state.loga})

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import threading
 import time
 from typing import Optional, Tuple
 
@@ -250,6 +252,96 @@ def native_eval_gates(l0, args: Config, config: Config):
     if gates is None:
         return None
     return l0.forward_deterministic({"loga": gates["loga"]})
+
+
+# ---------------------------------------------------------------------------
+# Preemption-safe training. TPU maintenance events / spot eviction deliver
+# SIGTERM with a grace window; the reference has no equivalent (an evicted
+# DDP job loses everything since the last epoch save). The handler only sets
+# a flag — all checkpoint work happens at the next step boundary on the main
+# thread, where no collective is in flight.
+
+_PREEMPT = threading.Event()
+
+
+def install_preemption_handler(extra_signals=()) -> threading.Event:
+    """Install the SIGTERM flag-setter (call once, from the launcher).
+    Returns the event so tests/embedding code can trigger or inspect it."""
+    def _handler(signum, frame):
+        _PREEMPT.set()
+        print(f"### signal {signum}: preemption flagged — "
+              "saving full state at the next step boundary")
+
+    for sig in (signal.SIGTERM, *extra_signals):
+        try:
+            signal.signal(sig, _handler)
+        except (ValueError, OSError):  # non-main thread / unsupported
+            pass
+    return _PREEMPT
+
+
+def preempted() -> bool:
+    return _PREEMPT.is_set()
+
+
+def preempted_sync() -> bool:
+    """Collectively-agreed preemption flag: with >1 process, signal delivery
+    races rank to rank, and acting on a local flag alone would desync the
+    ranks' collectives mid-save. Every rank must call this at the same loop
+    position (run_train_epoch does, every sync_every batches)."""
+    flag = _PREEMPT.is_set()
+    if get_world_size() > 1:
+        from jax.experimental import multihost_utils
+
+        flag = bool(np.asarray(
+            multihost_utils.process_allgather(np.asarray(flag))).any())
+    return flag
+
+
+def run_train_epoch(loader, logger, step_fn, state, rng, make_batch, prof, *,
+                    epoch: int, output_dir: str = "", teacher_params=None,
+                    resume_batches: int = 0, header: str = "",
+                    log_freq: int = 50, sync_every: int = 10):
+    """One fine-tune train epoch, shared by all five task drivers:
+    items -> make_batch -> step_fn(state, batch, rng, teacher_params),
+    with profiler ticks, metric logging, and preemption-safe exit.
+
+    On preemption (install_preemption_handler) the FULL training state is
+    saved with {"epoch": epoch-1, "batches_done": i+1} and the process
+    exits 0: --resume then replays THIS epoch, fast-forwarding the first
+    batches_done batches (the loader re-yields them — keeping the host
+    augmentation stream aligned — while the device step is skipped and the
+    per-batch rng split is replayed), giving step-exact continuation on the
+    epoch-keyed rng stream. Single-process checks the flag every batch;
+    multi-process agrees collectively every sync_every batches (signal
+    delivery races rank to rank).
+
+    resume_batches: pass extra.get("batches_done") for the first resumed
+    epoch, 0 otherwise. Returns the post-epoch state."""
+    world = get_world_size()
+    for i, items in enumerate(logger.log_every(loader, log_freq, header)):
+        if i < resume_batches:
+            rng, _ = jax.random.split(rng)
+            continue
+        batch = make_batch(items)
+        rng, srng = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, srng, teacher_params)
+        prof.tick(metrics)
+        logger.update(**{k: float(v) for k, v in metrics.items()})
+        hit = (preempted() if world == 1
+               else ((i + 1) % sync_every == 0 and preempted_sync()))
+        if hit:
+            if output_dir:
+                save_full_state(output_dir, state,
+                                {"epoch": epoch - 1, "batches_done": i + 1,
+                                 "preempted": True})
+                wait_for_saves()
+                log_stats({"preempted": True, "epoch": epoch,
+                           "batches_done": i + 1}, output_dir)
+            print(f"### preempted at epoch {epoch} batch {i + 1}: "
+                  "full state saved, exiting cleanly")
+            raise SystemExit(0)
+    return state
 
 
 def save_training_state(output_dir: str, tag, payload: dict) -> None:

@@ -164,6 +164,16 @@ def main(args: Config, config: Config) -> dict:
         for i in range(start_step, max_steps):
             yield i
 
+    def _stream_extra():
+        def _stream_state(stream):
+            sd = stream.state_dict()
+            return {"epoch": sd["epoch"], "file": sd["cursor"][0], "line": sd["cursor"][1]}
+
+        extra = {"general_stream": _stream_state(general_ds.stream)}
+        if region_ds is not None:
+            extra["region_stream"] = _stream_state(region_ds.stream)
+        return extra
+
     for step in logger.log_every(steps(), 50, "GD Train:", total=max_steps - start_step):
         # step-keyed rng + region-choice so a resumed run continues the
         # exact stochastic stream of the uninterrupted one
@@ -179,22 +189,28 @@ def main(args: Config, config: Config) -> dict:
             state, metrics = general_step(state, batch, srng, tparams)
         prof.tick(metrics)
         logger.update(**{k: float(v) for k, v in metrics.items()})
+        # preemption (SIGTERM grace window): save the step-exact full state
+        # incl. stream cursors and exit — --resume continues mid-stream.
+        # Multi-process ranks agree collectively on a 50-step cadence.
+        if (common.preempted() if info["world_size"] == 1
+                else ((step + 1) % 50 == 0 and common.preempted_sync())):
+            if args.get("output_dir"):
+                common.save_full_state(args["output_dir"], state,
+                                       {"step": step + 1, **_stream_extra()})
+                common.wait_for_saves()
+                common.log_stats({"preempted": True, "step": step + 1},
+                                 args["output_dir"])
+            print(f"### preempted at step {step + 1}: full state saved, exiting cleanly")
+            raise SystemExit(0)
         if (step + 1) % ckpt_freq == 0 and args.get("output_dir"):
             if get_rank() == 0:
                 ckpt_io.Checkpointer(args["output_dir"]).save_checkpoint(
                     step + 1, {"model": state[0], "step": step + 1},
                 )
-            def _stream_state(stream):
-                sd = stream.state_dict()
-                return {"epoch": sd["epoch"], "file": sd["cursor"][0], "line": sd["cursor"][1]}
-
-            stream_extra = {"general_stream": _stream_state(general_ds.stream)}
-            if region_ds is not None:
-                stream_extra["region_stream"] = _stream_state(region_ds.stream)
             # background: the periodic full-state write (GBs at real scale)
             # overlaps the next ckpt_freq steps instead of stalling them
             common.save_full_state(args["output_dir"], state,
-                                   {"step": step + 1, **stream_extra},
+                                   {"step": step + 1, **_stream_extra()},
                                    background=True)
             common.log_stats(
                 {"step": step + 1,

@@ -133,13 +133,17 @@ def main(args: Config, config: Config) -> dict:
     optimizers = common.build_optimizers(sparams, config, total_steps)
     state = init_train_state(sparams, l0_params, optimizers)
 
-    start_epoch = 0
+    start_epoch, resume_batches = 0, 0
     if args.get("resume") and args.get("output_dir"):
         restored = common.restore_full_state(args["output_dir"], state)
         if restored is not None:
             state, extra = restored
             start_epoch = int(extra.get("epoch", -1)) + 1
-            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
+            # a preemption save records mid-epoch progress: replay this
+            # epoch, fast-forwarding the completed batches (run_train_epoch)
+            resume_batches = int(extra.get("batches_done", 0))
+            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)"
+                  + (f" at batch {resume_batches}" if resume_batches else ""))
 
     if args.get("evaluate"):
         zs = (common.native_eval_gates(l0, args, config)
@@ -189,19 +193,25 @@ def main(args: Config, config: Config) -> dict:
         # epoch bit-for-bit (reference resumes at epoch granularity)
         rng = jax.random.fold_in(base_rng, epoch)
         logger = MetricLogger()
-        for images, captions, idx in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
+
+        def make_batch(items):
+            images, captions, idx = items
             tok = tokenizer(list(captions), padding="longest", truncation=True,
                             max_length=config.get("max_tokens", 40))
-            batch = common.place_batch({
+            return common.place_batch({
                 "image": jnp.asarray(images),
                 "text_ids": jnp.asarray(tok["input_ids"]),
                 "text_atts": jnp.asarray(tok["attention_mask"]),
                 "idx": jnp.asarray(idx),
             }, mesh)
-            rng, srng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, srng, tparams)
-            prof.tick(metrics)
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+
+        state = common.run_train_epoch(
+            train_loader, logger, step_fn, state, rng, make_batch, prof,
+            epoch=epoch, output_dir=args.get("output_dir", ""),
+            teacher_params=tparams,
+            resume_batches=resume_batches if epoch == start_epoch else 0,
+            header=f"Train Epoch: [{epoch}]",
+        )
         prof.close()
         logger.synchronize_between_processes()
 

@@ -196,13 +196,15 @@ def main(args: Config, config: Config) -> dict:
 
     step_fn, mesh, _ = build_step()
 
-    start_epoch = 0
+    start_epoch, resume_batches = 0, 0
     if args.get("resume") and args.get("output_dir"):
         restored = common.restore_full_state(args["output_dir"], state)
         if restored is not None:
             state, extra = restored
             start_epoch = int(extra.get("epoch", -1)) + 1
-            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)")
+            resume_batches = int(extra.get("batches_done", 0))
+            print(f"### resumed from epoch {start_epoch} (full state incl. optimizers)"
+                  + (f" at batch {resume_batches}" if resume_batches else ""))
 
     stop_prune_epoch = args.get("stop_prune_epoch")
     start_eval = int(config.get("start_eval", 0))
@@ -221,20 +223,25 @@ def main(args: Config, config: Config) -> dict:
         train_loader.set_epoch(epoch)
         rng = jax.random.fold_in(base_rng, epoch)
         logger = MetricLogger()
-        for images, questions, answers, weights, k_index in logger.log_every(train_loader, 50, f"Train Epoch: [{epoch}]"):
+        def make_batch(items):
+            images, questions, answers, weights, k_index = items
             q = tokenizer(list(questions), padding="max_length", truncation=True,
                           max_length=config.get("max_tokens", 40))
             a = tokenizer(list(answers), padding="max_length", truncation=True, max_length=20)
-            batch = common.place_batch({
+            return common.place_batch({
                 "image": jnp.asarray(images),
                 "q_ids": jnp.asarray(q["input_ids"]), "q_atts": jnp.asarray(q["attention_mask"]),
                 "a_ids": jnp.asarray(a["input_ids"]), "a_atts": jnp.asarray(a["attention_mask"]),
                 "weights": jnp.asarray(weights), "k_index": jnp.asarray(k_index),
             }, mesh)
-            rng, srng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, srng, tparams)
-            prof.tick(metrics)
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+
+        state = common.run_train_epoch(
+            train_loader, logger, step_fn, state, rng, make_batch, prof,
+            epoch=epoch, output_dir=args.get("output_dir", ""),
+            teacher_params=tparams,
+            resume_batches=resume_batches if epoch == start_epoch else 0,
+            header=f"Train Epoch: [{epoch}]",
+        )
         prof.close()
         logger.synchronize_between_processes()
         common.log_stats(

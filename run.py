@@ -81,6 +81,14 @@ def main(argv=None):
 
     enable_persistent_cache()
 
+    # TPU maintenance / spot eviction delivers SIGTERM with a grace window:
+    # flag it so the train loops save full state at a step boundary and exit
+    # cleanly — `--resume` then continues step-exact (GD: stream cursors;
+    # fine-tunes: epoch + batch cursor). See drivers/common.run_train_epoch.
+    from efficientvlm_tpu.drivers.common import install_preemption_handler
+
+    install_preemption_handler()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--task", required=True, choices=sorted(TASK_CONFIGS))
     parser.add_argument("--config", default="", type=str)
