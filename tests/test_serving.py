@@ -1,0 +1,154 @@
+"""Online serving (efficientvlm_tpu/serving): dynamic batcher semantics and
+a full HTTP round-trip over a tiny captioning model — request threads decode
+their own images, the device thread runs coalesced bucket-padded batches.
+No reference counterpart (the reference ships no serving path)."""
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+from efficientvlm_tpu.serving import (
+    DynamicBatcher, InferenceService, make_http_server, pad_items,
+    pad_to_bucket, serve_forever_in_thread,
+)
+
+
+def test_pad_to_bucket():
+    assert [pad_to_bucket(n, 16) for n in (1, 2, 3, 5, 9, 16)] == [1, 2, 4, 8, 16, 16]
+    assert pad_to_bucket(30, 16) == 16  # capped
+    assert pad_items([1, 2, 3], 4) == [1, 2, 3, 3]
+    assert pad_items([1, 2], 2) == [1, 2]
+
+
+def test_batcher_coalesces_and_orders():
+    seen = []
+
+    def run(items):
+        seen.append(len(items))
+        time.sleep(0.02)  # make a window for coalescing
+        return [x * 10 for x in items]
+
+    b = DynamicBatcher(run, max_batch_size=8, max_wait_ms=30)
+    try:
+        futs = [b.submit(i) for i in range(12)]
+        assert [f.result(timeout=10) for f in futs] == [i * 10 for i in range(12)]
+        s = b.stats()
+        assert s["requests"] == 12
+        # the first request may run solo, but the backlog must coalesce
+        assert max(seen) > 1 and s["batches"] < 12
+        assert s["p50_ms"] is not None
+    finally:
+        b.close()
+
+
+def test_batcher_propagates_exceptions():
+    def run(items):
+        raise ValueError("boom")
+
+    b = DynamicBatcher(run, max_batch_size=4, max_wait_ms=5)
+    try:
+        fut = b.submit(1)
+        with pytest.raises(ValueError, match="boom"):
+            fut.result(timeout=10)
+        assert b.stats()["requests"] == 1  # failed batches still counted
+    finally:
+        b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(2)
+
+
+def _tiny_caption_config():
+    return Config.from_dict({
+        "vision": VisionConfig.create(
+            vision_width=32, num_attention_heads=4, intermediate_size=64,
+            num_hidden_layers=2, image_res=32, patch_size=8,
+        ),
+        "text": TextConfig.create(
+            vocab_size=200, hidden_size=32, num_hidden_layers=4,
+            num_attention_heads=4, intermediate_size=64, encoder_width=32,
+            max_position_embeddings=48,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ),
+        "image_res": 32, "patch_size": 8, "embed_dim": 16, "temp": 0.07,
+        "text_encoder": "", "compute_dtype": "f32", "attn_impl": "xla",
+        "prompt": "a picture of ", "num_beams": 2, "max_length": 8,
+        "min_length": 2, "max_tokens": 12,
+    })
+
+
+def _b64_image(seed=0, size=40):
+    rng = np.random.RandomState(seed)
+    img = Image.fromarray(np.uint8(rng.rand(size, size, 3) * 255))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture(scope="module")
+def caption_server():
+    import jax
+
+    cfg = _tiny_caption_config()
+    from efficientvlm_tpu.drivers.captioning import build_models
+
+    model, _ = build_models(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    service = InferenceService(
+        "caption", cfg, params=params, max_batch_size=4, max_wait_ms=50)
+    server = make_http_server(service, "127.0.0.1", 0)
+    serve_forever_in_thread(server)
+    host, port = server.server_address
+    yield service, f"http://{host}:{port}"
+    server.shutdown()
+    service.close()
+
+
+def _post(url, payload, timeout=300):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_caption_roundtrip(caption_server):
+    service, base = caption_server
+    with urllib.request.urlopen(base + "/health", timeout=30) as r:
+        assert r.status == 200 and json.loads(r.read())["task"] == "caption"
+
+    # concurrent requests coalesce into one device batch
+    results = {}
+
+    def one(i):
+        results[i] = _post(base + "/caption", {"image_b64": _b64_image(i)})
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert set(results) == {0, 1, 2, 3}
+    for status, payload in results.values():
+        assert status == 200
+        assert isinstance(payload["caption"], str)
+
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    # warmup isn't counted; the 4 posts are
+    assert stats["requests"] >= 4 and stats["batches"] >= 1
+
+    # malformed request -> 400, unknown route -> 404 (urllib raises)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/caption", {"nope": 1})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/vqa", {"image_b64": _b64_image(), "question": "?"})
+    assert e.value.code == 404
