@@ -31,8 +31,10 @@ from ..utils.dist import get_rank, get_world_size, init_distributed_mode
 
 
 def setup(args: Config, config: Config) -> Config:
+    global _CKPT_BACKEND
     info = init_distributed_mode()
     np.random.seed(int(args.get("seed", 42)) + info["rank"])
+    _CKPT_BACKEND = str(config.get("checkpoint_backend", "msgpack"))
     if args.get("output_dir"):
         os.makedirs(args["output_dir"], exist_ok=True)
         if get_rank() == 0:
@@ -559,6 +561,10 @@ def wrap_step_with_preprocess(step, config: Config, *, image_keys=("image",),
 
 _SAVE_EXECUTOR = None
 _PENDING_SAVE = None
+# full-state backend: "msgpack" (rank-0 flax msgpack file, default) or
+# "orbax" (per-process sharded OCDBT dir — config `checkpoint_backend`,
+# applied by setup(); see train/orbax_io.py)
+_CKPT_BACKEND = "msgpack"
 
 
 def wait_for_saves() -> None:
@@ -568,6 +574,11 @@ def wait_for_saves() -> None:
     if _PENDING_SAVE is not None:
         _PENDING_SAVE.result()
         _PENDING_SAVE = None
+    import sys
+
+    orbax_io = sys.modules.get("efficientvlm_tpu.train.orbax_io")
+    if orbax_io is not None:  # only if the orbax backend was ever used
+        orbax_io.wait()
 
 
 def save_full_state(output_dir: str, state, extra: dict, *, tag="latest",
@@ -587,6 +598,19 @@ def save_full_state(output_dir: str, state, extra: dict, *, tag="latest",
     no step donates its state, so the deferred fetch reads a consistent
     snapshot. At most one save is in flight — a new one joins the previous
     first (ordering + bounded host memory)."""
+    if _CKPT_BACKEND == "orbax":
+        # per-process sharded save: EVERY rank participates (collective),
+        # shards go to disk as-is — no gather, no rank-0 funnel; ZeRO-1
+        # moments stay sharded on disk (train/orbax_io.py)
+        if not output_dir:
+            return
+        from ..train import orbax_io
+
+        orbax_io.save_state_dir(
+            os.path.join(output_dir, "training_state_latest.orbax"),
+            state, extra, background=background)
+        return
+
     # ZeRO-1 states carry moments sharded across devices/processes: rank 0
     # cannot host-fetch a non-fully-addressable leaf, so replicate such
     # leaves first (a jit identity with replicated out_sharding gathers
@@ -623,7 +647,13 @@ def save_full_state(output_dir: str, state, extra: dict, *, tag="latest",
 def restore_full_state(output_dir: str, template_state):
     """Restore (state, extra) saved by save_full_state, rebuilding optimizer
     pytrees against `template_state`'s structure (GeneralDistill.py:512-520).
-    Returns None when no checkpoint exists."""
+    Returns None when no checkpoint exists. Both backends are probed, so a
+    run can switch `checkpoint_backend` and still resume its older saves."""
+    orbax_dir = os.path.join(output_dir, "training_state_latest.orbax")
+    if os.path.isdir(orbax_dir):
+        from ..train import orbax_io
+
+        return orbax_io.restore_state_dir(orbax_dir, template_state)
     path = os.path.join(output_dir, "training_state_latest.ckpt")
     if not os.path.exists(path):
         return None
