@@ -87,6 +87,13 @@ class DynamicBatcher:
                 "p95_ms": lat[int(len(lat) * 0.95)] if lat else None,
             }
 
+    def reset_stats(self) -> None:
+        """Zero the counters (benches call this after warmup so compile
+        waits don't pollute the latency percentiles)."""
+        with self._lock:
+            self.requests = self.batches = self.batched_requests = 0
+            self.latencies_ms = []
+
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)

@@ -137,6 +137,9 @@ class InferenceService:
     def stats(self) -> dict:
         return {"task": self.task, **self._batcher.stats()}
 
+    def reset_stats(self) -> None:
+        self._batcher.reset_stats()
+
     def close(self) -> None:
         self._batcher.close()
 
