@@ -251,6 +251,9 @@ def native_eval_gates(l0, args: Config, config: Config):
         # point at the wrong cause
         raise SystemExit(f"--checkpoint not found: {ckpt}")
     _, gates = ckpt_io.extract_model_and_gates(ckpt_io.load_params(ckpt))
+    # this is the LAST reader of the shared tree: release the memo so a
+    # checkpoint-sized host copy is not pinned for the process lifetime
+    ckpt_io.clear_load_memo()
     if gates is None:
         return None
     return l0.forward_deterministic({"loga": gates["loga"]})
@@ -311,38 +314,57 @@ def run_train_epoch(loader, logger, step_fn, state, rng, make_batch, prof, *,
     On preemption (install_preemption_handler) the FULL training state is
     saved with {"epoch": epoch-1, "batches_done": i+1} and the process
     exits 0: --resume then replays THIS epoch, fast-forwarding the first
-    batches_done batches (the loader re-yields them — keeping the host
-    augmentation stream aligned — while the device step is skipped and the
-    per-batch rng split is replayed), giving step-exact continuation on the
-    epoch-keyed rng stream. Single-process checks the flag every batch;
-    multi-process agrees collectively every sync_every batches (signal
-    delivery races rank to rank).
+    batches_done batches (the loader re-yields them while the device step
+    is skipped and the per-batch rng split is replayed), continuing the
+    optimizer/gate state and device rng streams step-exact on the
+    epoch-keyed stream. Host-side augmentation replay is exact for
+    single-thread loaders and for `device_preprocess` (augmentation is
+    in-graph, keyed by the replayed step rng); under a worker-pool loader
+    it is best-effort — pool threads share the transform rng, so draw
+    order depends on thread scheduling (same caveat as torch DataLoader
+    workers in the reference). Single-process checks the flag every batch;
+    multi-process agrees collectively every sync_every batches AND once
+    after the loop (signal delivery races rank to rank, and short epochs
+    must still act before the grace window expires).
 
     resume_batches: pass extra.get("batches_done") for the first resumed
     epoch, 0 otherwise. Returns the post-epoch state."""
     world = get_world_size()
+    # training has started: params live on device now, so any host tree the
+    # load memo still pins (multi-GB at real scale) can go
+    ckpt_io.clear_load_memo()
+
+    def _save_and_exit(batches_done: int) -> None:
+        if output_dir:
+            save_full_state(output_dir, state,
+                            {"epoch": epoch - 1, "batches_done": batches_done,
+                             "preempted": True})
+            wait_for_saves()
+            log_stats({"preempted": True, "epoch": epoch,
+                       "batches_done": batches_done}, output_dir)
+        print(f"### preempted at epoch {epoch} batch {batches_done}: "
+              "full state saved, exiting cleanly")
+        raise SystemExit(0)
+
+    done = 0
     for i, items in enumerate(logger.log_every(loader, log_freq, header)):
         if i < resume_batches:
             rng, _ = jax.random.split(rng)
+            done = i + 1
             continue
         batch = make_batch(items)
         rng, srng = jax.random.split(rng)
         state, metrics = step_fn(state, batch, srng, teacher_params)
         prof.tick(metrics)
         logger.update(**{k: float(v) for k, v in metrics.items()})
-        hit = (preempted() if world == 1
-               else ((i + 1) % sync_every == 0 and preempted_sync()))
-        if hit:
-            if output_dir:
-                save_full_state(output_dir, state,
-                                {"epoch": epoch - 1, "batches_done": i + 1,
-                                 "preempted": True})
-                wait_for_saves()
-                log_stats({"preempted": True, "epoch": epoch,
-                           "batches_done": i + 1}, output_dir)
-            print(f"### preempted at epoch {epoch} batch {i + 1}: "
-                  "full state saved, exiting cleanly")
-            raise SystemExit(0)
+        done = i + 1
+        if (preempted() if world == 1
+                else ((i + 1) % sync_every == 0 and preempted_sync())):
+            _save_and_exit(done)
+    # epochs shorter than sync_every never hit the modulo; one collective
+    # check at the epoch boundary bounds the reaction time either way
+    if world > 1 and preempted_sync():
+        _save_and_exit(done)
     return state
 
 
@@ -498,7 +520,14 @@ def maybe_parallel_loader(loader, config: Config, *, num_workers: Optional[int] 
     augmentation too) — but forking after the TPU client is live is a known
     deadlock risk, so it is never the default. Worker pools only help with
     >1 core: on a single-core host the GIL/IPC overhead makes them 20-50%
-    SLOWER (scripts/bench_input_pipeline.py)."""
+    SLOWER (scripts/bench_input_pipeline.py).
+
+    Determinism caveat (same as torch DataLoader workers): pool threads
+    share the transform's host rng, so the augmentation stream depends on
+    thread scheduling and is not bit-replayable run-to-run. For bit-exact
+    epoch replay (determinism tests, preemption resume) use num_workers<=1
+    or `device_preprocess` (augmentation compiles into the step, keyed by
+    the replayed step rng)."""
     n = int(config.get("num_workers", 4) if num_workers is None else num_workers)
     if n > 1 and (os.cpu_count() or 1) > 2 and hasattr(loader, "batch_size"):
         if config.get("loader_backend", "thread") == "process":
@@ -647,15 +676,20 @@ def save_full_state(output_dir: str, state, extra: dict, *, tag="latest",
 def restore_full_state(output_dir: str, template_state):
     """Restore (state, extra) saved by save_full_state, rebuilding optimizer
     pytrees against `template_state`'s structure (GeneralDistill.py:512-520).
-    Returns None when no checkpoint exists. Both backends are probed, so a
-    run can switch `checkpoint_backend` and still resume its older saves."""
+    Returns None when no checkpoint exists. Both backends are probed so a
+    run can switch `checkpoint_backend` mid-project; when BOTH artifacts
+    exist the newer one wins (a stale orbax dir must not shadow later
+    msgpack saves, or vice versa)."""
     orbax_dir = os.path.join(output_dir, "training_state_latest.orbax")
-    if os.path.isdir(orbax_dir):
+    path = os.path.join(output_dir, "training_state_latest.ckpt")
+    have_orbax = os.path.isdir(orbax_dir)
+    have_msgpack = os.path.exists(path)
+    if have_orbax and (not have_msgpack
+                       or os.path.getmtime(orbax_dir) >= os.path.getmtime(path)):
         from ..train import orbax_io
 
         return orbax_io.restore_state_dir(orbax_dir, template_state)
-    path = os.path.join(output_dir, "training_state_latest.ckpt")
-    if not os.path.exists(path):
+    if not have_msgpack:
         return None
     payload = ckpt_io.load_pytree(path)
     state = ckpt_io.restore_pytree_like(template_state, payload["state"])

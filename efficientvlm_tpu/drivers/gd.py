@@ -164,6 +164,10 @@ def main(args: Config, config: Config) -> dict:
         for i in range(start_step, max_steps):
             yield i
 
+    # training starts: release any checkpoint-sized host tree the load
+    # memo still pins (params are on device)
+    ckpt_io.clear_load_memo()
+
     def _stream_extra():
         def _stream_state(stream):
             sd = stream.state_dict()

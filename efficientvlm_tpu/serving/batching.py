@@ -44,8 +44,9 @@ class DynamicBatcher:
     """submit(item) -> Future; a single worker drains the queue into
     batches and calls run_batch(items) -> results (one per item, same
     order). Exceptions from run_batch propagate to every Future of that
-    batch. Thread-safe; close() drains nothing (pending futures get a
-    CancelledError via shutdown exception)."""
+    batch. Thread-safe; close() stops the worker and fails every still-
+    queued Future with RuntimeError("batcher closed") so no caller blocks
+    out its full result timeout."""
 
     def __init__(
         self,
@@ -64,7 +65,11 @@ class DynamicBatcher:
         self.requests = 0
         self.batches = 0
         self.batched_requests = 0  # requests that shared a batch with others
-        self.latencies_ms: List[float] = []
+        # bounded: long-lived servers must not accumulate one float per
+        # request forever; percentiles only ever read the tail anyway
+        from collections import deque
+
+        self.latencies_ms = deque(maxlen=2000)
         self._thread = threading.Thread(target=self._loop, daemon=True, name=name)
         self._thread.start()
 
@@ -77,7 +82,7 @@ class DynamicBatcher:
 
     def stats(self) -> dict:
         with self._lock:
-            lat = sorted(self.latencies_ms[-1000:])
+            lat = sorted(list(self.latencies_ms)[-1000:])
             return {
                 "requests": self.requests,
                 "batches": self.batches,
@@ -92,11 +97,23 @@ class DynamicBatcher:
         waits don't pollute the latency percentiles)."""
         with self._lock:
             self.requests = self.batches = self.batched_requests = 0
-            self.latencies_ms = []
+            self.latencies_ms.clear()
+
+    def _drain_failed(self) -> None:
+        while True:
+            try:
+                _, fut, _ = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher closed"))
 
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        # backstop for the submit()/close() race: anything enqueued after
+        # the worker's own exit drain still gets failed here
+        self._drain_failed()
 
     def _loop(self) -> None:
         while not self._stop.is_set():
@@ -133,3 +150,4 @@ class DynamicBatcher:
                 if len(batch) > 1:
                     self.batched_requests += len(batch)
                 self.latencies_ms.extend((now - t0) * 1e3 for _, _, t0 in batch)
+        self._drain_failed()  # stop requested: fail anything still queued

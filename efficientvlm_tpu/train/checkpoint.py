@@ -721,6 +721,15 @@ def _relist(node):
 _LOAD_MEMO = {"key": None, "tree": None}
 
 
+def clear_load_memo() -> None:
+    """Release the one-entry load_params memo. The memo exists to share the
+    params/gates double-read in eval entry points; callers clear it once
+    model build is done so a checkpoint-sized host tree is not pinned for
+    the process lifetime (drivers clear before their train loops,
+    native_eval_gates clears after the gate read)."""
+    _LOAD_MEMO["key"] = _LOAD_MEMO["tree"] = None
+
+
 def load_params(path: str):
     """Template-free load of a params-only checkpoint (the
     scripts/export_pruned.py output, reference load_pruned_model

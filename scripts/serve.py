@@ -67,7 +67,12 @@ def main():
 
     def _shutdown(signum, frame):
         print(f"### signal {signum}: shutting down")
-        server.shutdown()
+        # BaseServer.shutdown() blocks until serve_forever's loop exits —
+        # calling it from this handler (which runs ON the serve_forever
+        # thread) would deadlock; hop to a helper thread instead.
+        import threading
+
+        threading.Thread(target=server.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _shutdown)
     signal.signal(signal.SIGINT, _shutdown)

@@ -49,6 +49,28 @@ def test_batcher_coalesces_and_orders():
         b.close()
 
 
+def test_batcher_close_fails_queued_futures():
+    """close() must not strand queued requests: their Futures fail fast
+    instead of blocking callers out their full result timeout."""
+    release = threading.Event()
+
+    def run(items):
+        release.wait(5)  # hold the worker so the next submit stays queued
+        return items
+
+    b = DynamicBatcher(run, max_batch_size=1, max_wait_ms=1)
+    first = b.submit("a")      # occupies the worker
+    time.sleep(0.05)
+    stuck = b.submit("b")      # sits in the queue
+    # release the held batch AFTER close() has set the stop flag: the
+    # worker then finishes "a", sees stop, and fails the queued "b"
+    threading.Timer(0.2, release.set).start()
+    b.close()
+    assert first.result(timeout=10) == "a"
+    with pytest.raises(RuntimeError, match="batcher closed"):
+        stuck.result(timeout=10)
+
+
 def test_batcher_propagates_exceptions():
     def run(items):
         raise ValueError("boom")
