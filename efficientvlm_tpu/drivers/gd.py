@@ -208,9 +208,10 @@ def main(args: Config, config: Config) -> dict:
             raise SystemExit(0)
         if (step + 1) % ckpt_freq == 0 and args.get("output_dir"):
             if get_rank() == 0:
-                ckpt_io.Checkpointer(args["output_dir"]).save_checkpoint(
-                    step + 1, {"model": state[0], "step": step + 1},
-                )
+                ckpt_io.Checkpointer(
+                    args["output_dir"],
+                    keep_last=config.get("ckpt_keep_last"),
+                ).save_checkpoint(step + 1, {"model": state[0], "step": step + 1})
             # background: the periodic full-state write (GBs at real scale)
             # overlaps the next ckpt_freq steps instead of stalling them
             common.save_full_state(args["output_dir"], state,

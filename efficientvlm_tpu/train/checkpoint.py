@@ -792,12 +792,19 @@ def restore_pytree_like(template, state_dict):
 
 class Checkpointer:
     """reference utils/checkpointer.py:26-49: model_state_step_{N} /
-    model_state_epoch_{N} + rolling training_state_latest."""
+    model_state_epoch_{N} + rolling training_state_latest.
 
-    def __init__(self, serialization_dir: str):
+    keep_last (beyond the reference, which keeps every snapshot forever):
+    after each numbered save, delete all but the newest N numbered
+    snapshots of that tag — a multi-day GD run at ckpt_frequent_step=10k
+    otherwise accumulates hundreds of GB. "final"/"best" tags are never
+    rotated. Config key `ckpt_keep_last` in the GD driver."""
+
+    def __init__(self, serialization_dir: str, *, keep_last: Optional[int] = None):
         from ..utils.io import hmkdir
 
         self.serialization_dir = serialization_dir
+        self.keep_last = keep_last
         # hdfs://- and gs://-capable (ref checkpointer is HDFS-first,
         # utils/checkpointer.py:26-49); local dirs are created as before
         hmkdir(serialization_dir)
@@ -809,7 +816,23 @@ class Checkpointer:
         if training_states is not None:
             latest = os.path.join(self.serialization_dir, "training_state_latest.ckpt")
             save_pytree(latest, training_states)
+        if self.keep_last and isinstance(step, int):
+            self._rotate(tag)
         return path
+
+    def _rotate(self, tag: str) -> None:
+        import re
+
+        from ..utils.io import hlist_files, hremove
+
+        pat = re.compile(rf"model_state_{tag}_(\d+)\.ckpt$")
+        numbered = []
+        for f in hlist_files([self.serialization_dir]):
+            m = pat.search(f)
+            if m:
+                numbered.append((int(m.group(1)), f))
+        for _, f in sorted(numbered)[:-self.keep_last]:
+            hremove(f)
 
     def load_latest(self):
         from ..utils.io import hexists

@@ -96,6 +96,20 @@ def hcopy(src: str, dst: str) -> bool:
     return True
 
 
+def hremove(path: str) -> bool:
+    """Delete a file on local/HDFS/GCS (checkpoint rotation)."""
+    if _is_hdfs(path):
+        subprocess.run([HDFS_BIN, "dfs", "-rm", path])
+    elif _is_gcs(path):
+        subprocess.run(["gsutil", "rm", path])
+    else:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            return False
+    return True
+
+
 def hcountline(path: str) -> int:
     count = 0
     with hopen(path, "r") as f:

@@ -98,6 +98,26 @@ def test_native_checkpointer(small_model, tmp_path):
     assert ckpt.load_latest()["step"] == 5
 
 
+def test_checkpointer_keep_last_rotation(small_model, tmp_path):
+    """keep_last=N deletes all but the newest N numbered step snapshots
+    (beyond the reference, which keeps every snapshot forever); 'final' and
+    epoch-tag snapshots are untouched."""
+    import os
+
+    model, params = small_model
+    out = str(tmp_path / "out")
+    ckpt = C.Checkpointer(out, keep_last=2)
+    for s in (10, 20, 30, 40):
+        ckpt.save_checkpoint(s, {"model": params})
+    ckpt.save_checkpoint("final", {"model": params})
+    ckpt.save_checkpoint(1, {"model": params}, step_mode=False)  # epoch tag
+    names = sorted(os.listdir(out))
+    assert "model_state_step_30.ckpt" in names and "model_state_step_40.ckpt" in names
+    assert "model_state_step_10.ckpt" not in names and "model_state_step_20.ckpt" not in names
+    assert "model_state_step_final.ckpt" in names  # string steps never rotate
+    assert "model_state_epoch_1.ckpt" in names  # other tag untouched
+
+
 def test_checkpointer_hdfs_path(small_model, tmp_path, monkeypatch):
     """Checkpointer must work for hdfs:// dirs: no local os.makedirs crash,
     writes stream through the hdfs CLI shims (ref utils/checkpointer.py:26-49
