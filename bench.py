@@ -277,6 +277,116 @@ def phase_pruned_caption(sparsity=0.25):
                       "sparsity": sparsity, "realized_sparsity": realized}))
 
 
+def phase_serving(sparsity=0.25, clients=8, requests=64, impl="fused"):
+    """Online-serving unit: the 0.25-pruned captioning model behind the
+    dynamic-batching HTTP endpoint (efficientvlm_tpu/serving), hit by
+    concurrent clients with real JPEG payloads — reports end-to-end req/s
+    (decode + preprocess + coalesced beam decode) and the mean coalesced
+    batch size."""
+    import base64
+    import io
+    import threading
+    import urllib.request
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_prune_probe import aligned_zs
+
+    from efficientvlm_tpu.config import Config, TextConfig, VisionConfig
+    from efficientvlm_tpu.pruning.export import prune_xvlm_params
+    from efficientvlm_tpu.serving import (
+        InferenceService, make_http_server, serve_forever_in_thread,
+    )
+
+    image_res = 384
+    vcfg = VisionConfig.create(num_hidden_layers=6, image_res=image_res)
+    tcfg = TextConfig.create(
+        num_hidden_layers=6, fusion_layer=3, encoder_width=768,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    config = Config.from_dict({
+        "vision": vcfg, "text": tcfg, "image_res": image_res,
+        "text_encoder": "", "compute_dtype": "bf16", "attn_impl": impl,
+        "prompt": "a picture of ", "num_beams": 3, "max_length": 20,
+        "min_length": 5,
+    })
+    # init from the SAME constructor the service will use, so the pruned
+    # tree matches the hosted model's geometry exactly
+    from efficientvlm_tpu.drivers.captioning import build_models
+
+    model, _ = build_models(config)
+    params = model.init(jax.random.PRNGKey(0))
+    zs = aligned_zs(sparsity)
+    zs.pop("__realized_sparsity__")
+    params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
+    service = InferenceService(
+        "caption", config, params=_cast_bf16(params),
+        max_batch_size=16, max_wait_ms=10.0)
+    server = make_http_server(service, "127.0.0.1", 0)
+    serve_forever_in_thread(server)
+    host, port = server.server_address
+    base = f"http://{host}:{port}/caption"
+
+    rng = np.random.RandomState(0)
+    payloads = []
+    for i in range(clients):
+        img = Image.fromarray(np.uint8(rng.rand(image_res, image_res, 3) * 255))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=90)
+        payloads.append(json.dumps(
+            {"image_b64": base64.b64encode(buf.getvalue()).decode()}).encode())
+
+    def _post(ci):
+        urllib.request.urlopen(urllib.request.Request(
+            base, data=payloads[ci % len(payloads)],
+            headers={"Content-Type": "application/json"}), timeout=3000).read()
+
+    def _fire(n):
+        ts = [threading.Thread(target=_post, args=(j,)) for j in range(n)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+
+    for _ in range(2):  # bucket warmups (compiles are not the bench)
+        _fire(1)
+    b = 2
+    while b <= min(clients, 16):
+        _fire(b)
+        b *= 2
+    service.reset_stats()
+
+    n_done, lock = [0], threading.Lock()
+
+    def client(ci):
+        while True:
+            with lock:
+                if n_done[0] >= requests:
+                    return
+                n_done[0] += 1
+            _post(ci)
+
+    t0 = time.perf_counter()
+    ts = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    dt = time.perf_counter() - t0
+    stats = service.stats()
+    server.shutdown()
+    service.close()
+    print(json.dumps({
+        "tput": round(requests / dt, 2),
+        "mean_batch_size": round(stats["mean_batch_size"], 2),
+        "p50_ms": round(stats["p50_ms"], 1) if stats["p50_ms"] else None,
+        "p95_ms": round(stats["p95_ms"], 1) if stats["p95_ms"] else None,
+    }))
+
+
 def _run_phase(phase: str, timeout=1200):
     env = dict(os.environ)
     here = os.path.dirname(os.path.abspath(__file__))
@@ -318,7 +428,8 @@ def main():
          "vqa_teacher": phase_vqa_teacher,
          "pruned_vqa": phase_pruned_vqa,
          "caption_teacher": phase_caption_teacher,
-         "pruned_caption": phase_pruned_caption}[phase]()
+         "pruned_caption": phase_pruned_caption,
+         "serving": phase_serving}[phase]()
         return
 
     if not _wait_for_tunnel():
@@ -350,6 +461,11 @@ def main():
         caption_teacher = _run_phase("caption_teacher", timeout=1800).get("tput")
     except Exception as e:
         print(f"### caption phase failed: {e}", file=sys.stderr)
+    serving = None
+    try:
+        serving = _run_phase("serving", timeout=1800)
+    except Exception as e:
+        print(f"### serving phase failed: {e}", file=sys.stderr)
     kd_ms = None
     try:
         # scripts/bench_kd_step.py subprocesses its two programs itself
@@ -397,6 +513,9 @@ def main():
         "caption_teacher_img_per_sec": round(caption_teacher, 2) if caption_teacher else None,
         "pruned_caption_vs_teacher": (
             round(pruned_caption / caption_teacher, 3) if pruned_caption and caption_teacher else None),
+        "serving_caption_req_per_sec": serving.get("tput") if serving else None,
+        "serving_mean_batch_size": serving.get("mean_batch_size") if serving else None,
+        "serving_p95_ms": serving.get("p95_ms") if serving else None,
     }))
 
 

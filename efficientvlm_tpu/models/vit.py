@@ -238,7 +238,11 @@ def vit_apply(
     )
     if use_scan:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
-        nh = cfg["num_attention_heads"]
+        # derive the head count from the (uniform) param shapes, NOT the
+        # config: a uniformly-pruned physical export keeps fewer heads than
+        # cfg.num_attention_heads yet still satisfies _uniform_layers, so
+        # the scan path must size heads like the unrolled path does
+        nh = _num_heads(params["layers"][0], head_dim)
         xs = {"params": stacked}
         if head_z is not None:
             xs["head_z"] = jnp.asarray(head_z)

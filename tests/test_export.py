@@ -45,6 +45,36 @@ def test_vit_export_equivalence():
     np.testing.assert_allclose(np.asarray(gated), np.asarray(sliced), atol=1e-5)
 
 
+def test_vit_uniform_export_scans_with_derived_heads():
+    """A UNIFORMLY pruned export satisfies _uniform_layers, so the scanned
+    encoder engages — it must size attention from the sliced param shapes
+    (fewer heads than cfg.num_attention_heads), exactly like the unrolled
+    path. Regression: the scan path used to read cfg and crash reshaping
+    (caught wiring the pruned model into the serving bench)."""
+    cfg = VisionConfig.create(
+        vision_width=64, num_attention_heads=4, intermediate_size=96,
+        num_hidden_layers=3, image_res=16, patch_size=8,
+    )
+    params = V.init_vit(jax.random.PRNGKey(0), cfg)
+    # uniform gates: same 2-of-4 heads, same mlp dims kept in EVERY layer
+    head_keep = np.array([1.0, 0.0, 1.0, 0.0], np.float32)
+    mlp_keep = (np.arange(96) < 64).astype(np.float32)
+    zs = {
+        "vision_head_z": np.tile(head_keep, (3, 1)),
+        "vision_intermediate_z": np.tile(mlp_keep, (3, 1)),
+    }
+    pruned = prune_vit_params(params, zs, head_dim=HEAD_DIM)
+    assert pruned["layers"][0]["attn"]["q"]["kernel"].shape[1] == 2 * HEAD_DIM
+
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    unrolled = V.vit_apply(pruned, imgs, cfg)["last_hidden"]
+    scan_cfg = VisionConfig(dict(cfg))
+    scan_cfg["scan_layers"] = True
+    scanned = V.vit_apply(pruned, imgs, scan_cfg)["last_hidden"]
+    np.testing.assert_allclose(np.asarray(scanned), np.asarray(unrolled),
+                               atol=1e-6)
+
+
 def test_bert_export_equivalence():
     cfg = TextConfig.create(
         vocab_size=60, hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
