@@ -347,6 +347,7 @@ def run_train_epoch(loader, logger, step_fn, state, rng, make_batch, prof, *,
         raise SystemExit(0)
 
     done = 0
+    pending = None  # metrics of the PREVIOUS step, still device-async
     for i, items in enumerate(logger.log_every(loader, log_freq, header)):
         if i < resume_batches:
             rng, _ = jax.random.split(rng)
@@ -356,11 +357,19 @@ def run_train_epoch(loader, logger, step_fn, state, rng, make_batch, prof, *,
         rng, srng = jax.random.split(rng)
         state, metrics = step_fn(state, batch, srng, teacher_params)
         prof.tick(metrics)
-        logger.update(**{k: float(v) for k, v in metrics.items()})
+        # one-step-lagged metric fetch: float() blocks on the device, so
+        # reading THIS step's metrics here would serialize host batch prep
+        # with device compute; reading last step's (already finished while
+        # this one was being fed) keeps the loop pipelined
+        if pending is not None:
+            logger.update(**{k: float(v) for k, v in pending.items()})
+        pending = metrics
         done = i + 1
         if (preempted() if world == 1
                 else ((i + 1) % sync_every == 0 and preempted_sync())):
             _save_and_exit(done)
+    if pending is not None:
+        logger.update(**{k: float(v) for k, v in pending.items()})
     # epochs shorter than sync_every never hit the modulo; one collective
     # check at the epoch boundary bounds the reaction time either way
     if world > 1 and preempted_sync():

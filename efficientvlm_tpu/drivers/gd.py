@@ -178,6 +178,8 @@ def main(args: Config, config: Config) -> dict:
             extra["region_stream"] = _stream_state(region_ds.stream)
         return extra
 
+    pending = None  # previous step's metrics, fetched one step late so
+    # host batch prep (JSONL decode) overlaps device compute
     for step in logger.log_every(steps(), 50, "GD Train:", total=max_steps - start_step):
         # step-keyed rng + region-choice so a resumed run continues the
         # exact stochastic stream of the uninterrupted one
@@ -192,7 +194,9 @@ def main(args: Config, config: Config) -> dict:
             batch = common.place_batch({k: jnp.asarray(v) for k, v in next(general_iter).items()}, mesh)
             state, metrics = general_step(state, batch, srng, tparams)
         prof.tick(metrics)
-        logger.update(**{k: float(v) for k, v in metrics.items()})
+        if pending is not None:
+            logger.update(**{k: float(v) for k, v in pending.items()})
+        pending = metrics
         # preemption (SIGTERM grace window): save the step-exact full state
         # incl. stream cursors and exit — --resume continues mid-stream.
         # Multi-process ranks agree collectively on a 50-step cadence.
@@ -222,6 +226,8 @@ def main(args: Config, config: Config) -> dict:
                  **{f"train_{k}": f"{m.global_avg:.5f}" for k, m in logger.meters.items()}},
                 args["output_dir"],
             )
+    if pending is not None:
+        logger.update(**{k: float(v) for k, v in pending.items()})
     prof.close()
     if args.get("output_dir"):
         if get_rank() == 0:
