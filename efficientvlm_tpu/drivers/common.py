@@ -177,6 +177,17 @@ def build_optimizers(params, config: Config, total_steps: int, *, init_param_pat
     reg_lr = float(opt_cfg.get("reg_learning_rate", 0.01))
     l0_opt = create_l0_optimizer(reg_lr=reg_lr)
     lag_opt = create_lagrangian_optimizer(reg_lr=reg_lr)
+    skip_bad = int(config.get("skip_nonfinite_updates", 0) or 0)
+    if skip_bad:
+        import optax
+
+        # reference parity: apex AMP skips the update when the scaled loss
+        # overflows (accelerator.py dynamic loss scale). bf16 rarely
+        # overflows, so this is opt-in — a NaN/inf grad leaves params AND
+        # optimizer moments untouched for that step; after `skip_bad`
+        # consecutive bad steps the optimizer hard-errors (inner_state is
+        # then propagated NaN) instead of silently stalling forever.
+        main = optax.apply_if_finite(main, max_consecutive_errors=skip_bad)
     if accum > 1:
         import optax
 

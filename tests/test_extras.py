@@ -127,6 +127,36 @@ def test_fractional_warmup_survives_build_optimizers():
     np.testing.assert_allclose(float(sched(10)), lr, rtol=1e-6)
 
 
+def test_skip_nonfinite_updates_guard():
+    """skip_nonfinite_updates: N (reference apex AMP overflow-skip parity):
+    a NaN grad leaves params and moments untouched; a finite grad applies
+    normally afterwards."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from efficientvlm_tpu.config import Config
+    from efficientvlm_tpu.drivers.common import build_optimizers
+
+    params = {"w": jnp.ones((4,))}
+    opt, _, _ = build_optimizers(
+        params, Config({"skip_nonfinite_updates": 3,
+                        "optimizer": {"lr": 0.1}}), total_steps=10)
+    state = opt.init(params)
+
+    bad = {"w": jnp.full((4,), jnp.nan)}
+    upd, state2 = opt.update(bad, state, params)
+    p2 = optax.apply_updates(params, upd)
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.ones(4))
+    assert int(state2.notfinite_count) == 1
+
+    good = {"w": jnp.ones((4,))}
+    upd, state3 = opt.update(good, state2, params)
+    p3 = optax.apply_updates(params, upd)
+    assert not np.allclose(np.asarray(p3["w"]), np.ones(4))
+    assert int(state3.notfinite_count) == 0
+
+
 def test_grad_accumulation_matches_big_batch():
     """accelerator.GRAD_ACCUMULATE_STEPS=k (optax.MultiSteps in
     build_optimizers): k micro-batch steps == one k-times-larger-batch step
