@@ -133,6 +133,32 @@ def caption_server():
     service.close()
 
 
+def test_vqa_service_answer_ranking():
+    """The VQA service hosts forward_eval (k-way answer ranking): coalesced
+    requests come back with answers from the answer list, in order."""
+    import jax
+
+    cfg = _tiny_caption_config()
+    cfg["k_test"] = 2
+    from efficientvlm_tpu.drivers.vqa import build_models
+
+    model, _ = build_models(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    answers = ["yes", "no", "red", "two"]
+    service = InferenceService(
+        "vqa", cfg, params=params, answer_list=answers,
+        max_batch_size=4, max_wait_ms=30)
+    try:
+        imgs = [service.preprocess(_b64_image(i)) for i in range(3)]
+        futs = [service.submit_vqa(im, f"what color {i}?")
+                for i, im in enumerate(imgs)]
+        outs = [f.result(timeout=600) for f in futs]
+        assert len(outs) == 3 and all(a in answers for a in outs)
+        assert service.stats()["requests"] >= 3
+    finally:
+        service.close()
+
+
 def _post(url, payload, timeout=300):
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(),
