@@ -469,18 +469,25 @@ def vqa_params_from_state_dict(
     fusion stack; the answer decoder is INITIALIZED FROM THE CROSS LAYERS
     (reference model_generation.py:271-293: text_encoder layer fusion+i ->
     text_decoder layer i; when decoder cross K/V width == hidden they copy
-    too)."""
+    too). A VQA-SHAPED checkpoint (fine-tuned: carries its own
+    text_decoder.* keys) loads that stored decoder instead — the reference
+    load_pretrained(is_eval=True) path (--evaluate / --load_vqa_pretrain,
+    Eff_VQA.py:311); detection is automatic since pretrain checkpoints
+    never have the keys."""
     num_dec_layers = num_dec_layers or (text_layers - fusion_layer)
     text_sd = strip_bert_prefix(split_by_prefix(sd, "text_encoder."))
-    dec_sd = {}
-    for k, v in text_sd.items():
-        m = re.match(r"encoder\.layer\.(\d+)\.(.*)", k)
-        if m:
-            i = int(m.group(1))
-            if i >= fusion_layer and (i - fusion_layer) < num_dec_layers:
-                dec_sd[f"encoder.layer.{i - fusion_layer}.{m.group(2)}"] = v
-        else:
-            dec_sd[k] = v
+    if any(k.startswith("text_decoder.") for k in sd):
+        dec_sd = strip_bert_prefix(split_by_prefix(sd, "text_decoder."))
+    else:
+        dec_sd = {}
+        for k, v in text_sd.items():
+            m = re.match(r"encoder\.layer\.(\d+)\.(.*)", k)
+            if m:
+                i = int(m.group(1))
+                if i >= fusion_layer and (i - fusion_layer) < num_dec_layers:
+                    dec_sd[f"encoder.layer.{i - fusion_layer}.{m.group(2)}"] = v
+            else:
+                dec_sd[k] = v
     params = {
         "vision": vit_params_from_state_dict(
             split_by_prefix(sd, "vision_encoder."), vision_layers, num_patches=num_patches

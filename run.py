@@ -114,6 +114,14 @@ def main(argv=None):
     parser.add_argument("--epoch", default=-1, type=int)
     parser.add_argument("--seed", default=42, type=int)
     parser.add_argument("--sparsity", default=None, type=float)
+    parser.add_argument("--lr", default=None, type=float,
+                        help="override optimizer.lr (reference Eff_* mains)")
+    parser.add_argument("--reg_lr", default=None, type=float,
+                        help="override optimizer.reg_learning_rate (L0/λ lr)")
+    parser.add_argument("--load_vqa_pretrain", action="store_true",
+                        help="reference flag: load a VQA-shaped checkpoint "
+                             "as-is. Accepted for parity; the VQA remap "
+                             "auto-detects stored text_decoder keys")
     parser.add_argument("--temperature", default=1.0, type=float)
     parser.add_argument("--stop_prune_epoch", default=None, type=int)
     parser.add_argument("--scst", action="store_true",
@@ -139,6 +147,10 @@ def main(argv=None):
         config.setdefault("schedular", Config())["epochs"] = parsed.epoch
     if parsed.sparsity is not None:
         config["sparsity"] = parsed.sparsity
+    if parsed.lr is not None:
+        config.setdefault("optimizer", Config())["lr"] = parsed.lr
+    if parsed.reg_lr is not None:
+        config.setdefault("optimizer", Config())["reg_learning_rate"] = parsed.reg_lr
 
     args = Config({k: v for k, v in vars(parsed).items() if v not in ("", -1, None, False)})
     # --load_ckpt_from: reference run.py fetches the domain-pretrain ckpt and

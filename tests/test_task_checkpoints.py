@@ -46,6 +46,39 @@ def test_vqa_decoder_from_cross_layers():
     assert len(out["text"]["layers"]) == 4
 
 
+def test_vqa_shaped_checkpoint_loads_stored_decoder():
+    """A fine-tuned VQA checkpoint carries its own text_decoder.* keys: the
+    remap must load THAT decoder, not rebuild it from the cross layers
+    (reference load_pretrained(is_eval=True), Eff_VQA.py:311 — --evaluate /
+    --load_vqa_pretrain)."""
+    params, sd = _mk()
+    # synthesize a VQA-shaped checkpoint: decoder weights that differ from
+    # every text layer
+    marked = {}
+    for k, v in sd.items():
+        if k.startswith("text_encoder.encoder.layer.2."):
+            dk = k.replace("text_encoder.encoder.layer.2.",
+                           "text_decoder.bert.encoder.layer.0.")
+            marked[dk] = np.asarray(v) + 7.0
+        if k.startswith("text_encoder.encoder.layer.3."):
+            dk = k.replace("text_encoder.encoder.layer.3.",
+                           "text_decoder.bert.encoder.layer.1.")
+            marked[dk] = np.asarray(v) + 7.0
+        if k.startswith("text_encoder.cls."):
+            marked[k.replace("text_encoder.", "text_decoder.")] = np.asarray(v) + 7.0
+        if k.startswith("text_encoder.embeddings."):
+            marked[k.replace("text_encoder.embeddings.",
+                             "text_decoder.bert.embeddings.")] = np.asarray(v)
+    out = C.vqa_params_from_state_dict(
+        {**sd, **marked}, vision_layers=2, text_layers=4, fusion_layer=2,
+        num_dec_layers=2,
+    )
+    _eq(out["text_decoder"]["layers"][0]["attention"]["q"]["kernel"],
+        np.asarray(params["text"]["layers"][2]["attention"]["q"]["kernel"]) + 7.0)
+    _eq(out["text_decoder"]["layers"][1]["attention"]["q"]["kernel"],
+        np.asarray(params["text"]["layers"][3]["attention"]["q"]["kernel"]) + 7.0)
+
+
 def test_captioning_decoder_copy():
     params, sd = _mk()
     out = C.captioning_params_from_state_dict(
