@@ -513,11 +513,15 @@ def captioning_params_from_state_dict(
 ) -> dict:
     """XVLM checkpoint -> captioning model params: the decoder carries the
     FULL fusion text stack, initialized by copying text_encoder ->
-    text_decoder (reference model_generation.py:88-98); capt-domain
-    checkpoints already store text_decoder keys."""
-    prefix = "text_decoder." if load_capt_pretrain and any(
-        k.startswith("text_decoder.") for k in sd
-    ) else "text_encoder."
+    text_decoder (reference model_generation.py:88-98). Checkpoints that
+    already store text_decoder.* keys — capt-domain pretrains
+    (--load_capt_pretrain) and fine-tuned captioning checkpoints
+    (--evaluate: reference is_eval=True loads them as-is) — use the stored
+    decoder; detection is automatic since X-VLM pretrain checkpoints never
+    carry the keys. load_capt_pretrain is kept for signature parity."""
+    del load_capt_pretrain  # auto-detected below
+    prefix = ("text_decoder." if any(k.startswith("text_decoder.") for k in sd)
+              else "text_encoder.")
     return {
         "vision": vit_params_from_state_dict(
             split_by_prefix(sd, "vision_encoder."), vision_layers, num_patches=num_patches
