@@ -292,6 +292,10 @@ def phase_serving(sparsity=0.25, clients=8, requests=64, impl="fused"):
     import numpy as np
     from PIL import Image
 
+    from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # warm re-runs skip the tunnel cold compiles
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scripts.bench_prune_probe import aligned_zs
 

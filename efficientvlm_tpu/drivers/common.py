@@ -185,9 +185,13 @@ def build_optimizers(params, config: Config, total_steps: int, *, init_param_pat
         # overflows (accelerator.py dynamic loss scale). bf16 rarely
         # overflows, so this is opt-in — a NaN/inf grad leaves params AND
         # optimizer moments untouched for that step; after `skip_bad`
-        # consecutive bad steps the optimizer hard-errors (inner_state is
-        # then propagated NaN) instead of silently stalling forever.
+        # consecutive bad steps the poison propagates instead of silently
+        # stalling forever. ALL THREE optimizers are guarded: a NaN joint
+        # loss NaNs the loga/λ grads too, and an unguarded gate optimizer
+        # would poison the gates permanently while params kept skipping.
         main = optax.apply_if_finite(main, max_consecutive_errors=skip_bad)
+        l0_opt = optax.apply_if_finite(l0_opt, max_consecutive_errors=skip_bad)
+        lag_opt = optax.apply_if_finite(lag_opt, max_consecutive_errors=skip_bad)
     if accum > 1:
         import optax
 
@@ -346,6 +350,10 @@ def run_train_epoch(loader, logger, step_fn, state, rng, make_batch, prof, *,
     ckpt_io.clear_load_memo()
 
     def _save_and_exit(batches_done: int) -> None:
+        if pending is not None:
+            # the lag-1 fetch still owes the last step's metrics; flush so
+            # the preemption log matches the steps actually executed
+            logger.update(**{k: float(v) for k, v in pending.items()})
         if output_dir:
             save_full_state(output_dir, state,
                             {"epoch": epoch - 1, "batches_done": batches_done,
@@ -379,12 +387,13 @@ def run_train_epoch(loader, logger, step_fn, state, rng, make_batch, prof, *,
         if (preempted() if world == 1
                 else ((i + 1) % sync_every == 0 and preempted_sync())):
             _save_and_exit(done)
-    if pending is not None:
-        logger.update(**{k: float(v) for k, v in pending.items()})
     # epochs shorter than sync_every never hit the modulo; one collective
-    # check at the epoch boundary bounds the reaction time either way
+    # check at the epoch boundary bounds the reaction time either way.
+    # (_save_and_exit flushes `pending` itself, so this runs first.)
     if world > 1 and preempted_sync():
         _save_and_exit(done)
+    if pending is not None:
+        logger.update(**{k: float(v) for k, v in pending.items()})
     return state
 
 

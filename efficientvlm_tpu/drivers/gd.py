@@ -202,6 +202,9 @@ def main(args: Config, config: Config) -> dict:
         # Multi-process ranks agree collectively on a 50-step cadence.
         if (common.preempted() if info["world_size"] == 1
                 else ((step + 1) % 50 == 0 and common.preempted_sync())):
+            if pending is not None:  # lag-1 fetch owes the last metrics
+                logger.update(**{k: float(v) for k, v in pending.items()})
+                pending = None
             if args.get("output_dir"):
                 common.save_full_state(args["output_dir"], state,
                                        {"step": step + 1, **_stream_extra()})

@@ -35,11 +35,14 @@ def build_models(config: Config):
     return student, teacher
 
 
-def load_torch_params(model, ckpt_path):
+def load_torch_params(model, ckpt_path, use_stored_decoder: bool = True):
     """Import a reference torch/HF VQA checkpoint for `model` (reference
     EffXVLMForVQA.load_pretrained remaps incl. decoder-from-cross init).
-    Returns None when the path is absent. Shared by the driver and
-    scripts/infer.py."""
+    use_stored_decoder = reference is_eval (--evaluate/--load_vqa_pretrain):
+    a VQA-shaped checkpoint keeps its trained decoder instead of the
+    cross-layer re-derivation. Returns None when the path is absent.
+    Shared by the driver and scripts/infer.py (which always evaluates, so
+    True is the default)."""
     import os as _os
 
     from ..train import checkpoint as ckpt_io
@@ -53,6 +56,7 @@ def load_torch_params(model, ckpt_path):
         fusion_layer=model.text_cfg["fusion_layer"],
         num_dec_layers=model.decoder_cfg["num_hidden_layers"],
         num_patches=model.vision_cfg.num_patches,
+        use_stored_decoder=use_stored_decoder,
     )
 
 
@@ -107,11 +111,17 @@ def main(args: Config, config: Config) -> dict:
 
     student, teacher = build_models(config)
 
-    def load_vqa(model, ckpt_path):
-        return load_torch_params(model, ckpt_path)
-
-    sparams = load_vqa(student, args.get("checkpoint")) or student.init(jax.random.PRNGKey(0))
-    tparams = load_vqa(teacher, args.get("teacher_chkpt")) or teacher.init(jax.random.PRNGKey(1))
+    # reference Eff_VQA.py:311: student is_eval = --evaluate or
+    # --load_vqa_pretrain (plain fine-tunes re-derive the decoder from the
+    # cross layers even for VQA-shaped checkpoints); the teacher always
+    # loads is_eval=True (Eff_VQA.py:321)
+    sparams = load_torch_params(
+        student, args.get("checkpoint"),
+        use_stored_decoder=bool(args.get("evaluate") or args.get("load_vqa_pretrain")),
+    ) or student.init(jax.random.PRNGKey(0))
+    tparams = load_torch_params(
+        teacher, args.get("teacher_chkpt"), use_stored_decoder=True,
+    ) or teacher.init(jax.random.PRNGKey(1))
     l0 = build_l0(config)
     l0_params = l0.init(jax.random.PRNGKey(2))
 

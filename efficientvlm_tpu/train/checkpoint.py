@@ -464,19 +464,20 @@ def vqa_params_from_state_dict(
     fusion_layer: int,
     num_dec_layers: Optional[int] = None,
     num_patches: Optional[int] = None,
+    use_stored_decoder: bool = False,
 ) -> dict:
     """XVLM checkpoint -> VQA model params: question encoder keeps the full
     fusion stack; the answer decoder is INITIALIZED FROM THE CROSS LAYERS
     (reference model_generation.py:271-293: text_encoder layer fusion+i ->
     text_decoder layer i; when decoder cross K/V width == hidden they copy
-    too). A VQA-SHAPED checkpoint (fine-tuned: carries its own
-    text_decoder.* keys) loads that stored decoder instead — the reference
-    load_pretrained(is_eval=True) path (--evaluate / --load_vqa_pretrain,
-    Eff_VQA.py:311); detection is automatic since pretrain checkpoints
-    never have the keys."""
+    too). use_stored_decoder (reference load_pretrained(is_eval=True),
+    --evaluate / --load_vqa_pretrain, Eff_VQA.py:311): a VQA-SHAPED
+    checkpoint carries its own text_decoder.* keys — load that decoder
+    as-is. Without the flag the reference re-derives the decoder from the
+    cross layers even when decoder keys exist, and so do we."""
     num_dec_layers = num_dec_layers or (text_layers - fusion_layer)
     text_sd = strip_bert_prefix(split_by_prefix(sd, "text_encoder."))
-    if any(k.startswith("text_decoder.") for k in sd):
+    if use_stored_decoder and any(k.startswith("text_decoder.") for k in sd):
         dec_sd = strip_bert_prefix(split_by_prefix(sd, "text_decoder."))
     else:
         dec_sd = {}
@@ -517,10 +518,13 @@ def captioning_params_from_state_dict(
     already store text_decoder.* keys — capt-domain pretrains
     (--load_capt_pretrain) and fine-tuned captioning checkpoints
     (--evaluate: reference is_eval=True loads them as-is) — use the stored
-    decoder; detection is automatic since X-VLM pretrain checkpoints never
-    carry the keys. load_capt_pretrain is kept for signature parity."""
-    del load_capt_pretrain  # auto-detected below
-    prefix = ("text_decoder." if any(k.startswith("text_decoder.") for k in sd)
+    decoder when the flag is set OR when the checkpoint has no
+    text_encoder to copy from (decoder-only captioning checkpoints); a
+    checkpoint carrying BOTH trees without the flag keeps the reference's
+    encoder-copy behavior (model_generation.py:88-98)."""
+    has_dec = any(k.startswith("text_decoder.") for k in sd)
+    has_enc = any(k.startswith("text_encoder.") for k in sd)
+    prefix = ("text_decoder." if has_dec and (load_capt_pretrain or not has_enc)
               else "text_encoder.")
     return {
         "vision": vit_params_from_state_dict(

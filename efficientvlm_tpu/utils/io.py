@@ -57,6 +57,12 @@ def hlist_files(folders: List[str]) -> List[str]:
                 [HDFS_BIN, "dfs", "-ls", folder], capture_output=True, text=True
             ).stdout
             files.extend(line.split()[-1] for line in out.splitlines() if line.startswith("-") or line.startswith("d"))
+        elif _is_gcs(folder):
+            out = subprocess.run(
+                ["gsutil", "ls", folder.rstrip("/") + "/"],
+                capture_output=True, text=True,
+            ).stdout
+            files.extend(line.strip() for line in out.splitlines() if line.strip())
         elif os.path.isdir(folder):
             files.extend(os.path.join(folder, f) for f in sorted(os.listdir(folder)))
         else:

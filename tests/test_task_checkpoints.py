@@ -71,12 +71,20 @@ def test_vqa_shaped_checkpoint_loads_stored_decoder():
                              "text_decoder.bert.embeddings.")] = np.asarray(v)
     out = C.vqa_params_from_state_dict(
         {**sd, **marked}, vision_layers=2, text_layers=4, fusion_layer=2,
-        num_dec_layers=2,
+        num_dec_layers=2, use_stored_decoder=True,
     )
     _eq(out["text_decoder"]["layers"][0]["attention"]["q"]["kernel"],
         np.asarray(params["text"]["layers"][2]["attention"]["q"]["kernel"]) + 7.0)
     _eq(out["text_decoder"]["layers"][1]["attention"]["q"]["kernel"],
         np.asarray(params["text"]["layers"][3]["attention"]["q"]["kernel"]) + 7.0)
+    # without the flag (plain fine-tune) the reference re-derives the
+    # decoder from the cross layers even when decoder keys exist
+    out2 = C.vqa_params_from_state_dict(
+        {**sd, **marked}, vision_layers=2, text_layers=4, fusion_layer=2,
+        num_dec_layers=2,
+    )
+    _eq(out2["text_decoder"]["layers"][0]["attention"]["q"]["kernel"],
+        params["text"]["layers"][2]["attention"]["q"]["kernel"])
 
 
 def test_captioning_decoder_copy():
