@@ -294,11 +294,20 @@ def scst_train(args, config, student, sparams, l0, l0_params, tokenizer,
 
     state = (sparams, optimizer.init(sparams), jnp.asarray(0))
     base_rng = jax.random.PRNGKey(int(args.get("seed", 42)))
+    start_epoch = 0
+    if args.get("resume") and args.get("output_dir"):
+        restored = common.restore_full_state(args["output_dir"], state)
+        if restored is not None:
+            state, extra = restored
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            print(f"### scst resumed from epoch {start_epoch}")
+    world = common.get_world_size()
     reward_hist = []
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
         rng = jax.random.fold_in(base_rng, epoch)
         logger = MetricLogger()
+        n_batches = 0
         for images, gt_lists in logger.log_every(train_loader, 10, f"SCST Epoch: [{epoch}]"):
             b = len(gt_lists)
             rng, srng, grng = jax.random.split(rng, 3)
@@ -318,6 +327,20 @@ def scst_train(args, config, student, sparams, l0, l0_params, tokenizer,
             logger.update(reward=criterion.get_score(),
                           **{k: float(v) for k, v in metrics.items()})
             reward_hist.append(criterion.get_score())
+            n_batches += 1
+            # preemption: epoch-granular save (the SCST loop is host-synced
+            # by design — the CIDEr reward decodes every batch — so replay
+            # of the interrupted epoch is the natural resume unit)
+            if (common.preempted() if world == 1
+                    else (n_batches % 10 == 0 and common.preempted_sync())):
+                if args.get("output_dir"):
+                    common.save_full_state(args["output_dir"], state,
+                                           {"epoch": epoch - 1, "scst": True})
+                    common.wait_for_saves()
+                    common.log_stats({"preempted": True, "epoch": epoch,
+                                      "scst": True}, args["output_dir"])
+                print(f"### scst preempted in epoch {epoch}: state saved, exiting")
+                raise SystemExit(0)
         logger.synchronize_between_processes()
         common.log_stats(
             {"epoch": epoch, "scst": True,
