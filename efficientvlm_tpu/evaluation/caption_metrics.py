@@ -314,8 +314,10 @@ def coco_caption_eval(annotations: List[dict], results: List[dict]) -> dict:
         "ROUGE_L": rouge_l(gts, res),
         "CIDEr": cider,
         "METEOR": meteor(gts, res),  # pure-Python (exact+stem); see meteor()
-        # SPICE needs a java scene-graph parser (reference refTools) — the
-        # one metric this environment cannot reproduce; reported as None
-        # rather than silently dropped.
+        # SPICE needs a java scene-graph parser. The reference's own vendored
+        # refTools/evaluation ships NO spice scorer either (only
+        # bleu/cider/meteor/rouge; dataset/utils.py:372 merely mentions it in
+        # a comment) — so None here is exact parity with what the reference
+        # repo can compute, reported explicitly rather than silently dropped.
         "SPICE": None,
     }
