@@ -832,3 +832,78 @@ def test_kv_cache_decode_matches_reference_torch():
 
     for step, (g, w) in enumerate(zip(got, ref_logits)):
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=3e-5, err_msg=f"step {step}")
+
+
+def test_grounding_mask_eval_matches_reference_torch():
+    """Weakly-supervised grounding eval (ref dataset/utils.py:165-210):
+    our numpy bicubic upsample == torch F.interpolate(bicubic), and the
+    integral-image proposal ranking picks the same box as the reference's
+    slice-sum loop on identical upsampled masks."""
+    import torch
+    import torch.nn.functional as F
+
+    from efficientvlm_tpu.evaluation import grounding as G
+
+    rng = np.random.RandomState(0)
+    for trial in range(4):
+        height = int(rng.randint(40, 90))
+        width = int(rng.randint(40, 90))
+        mask = rng.rand(24, 24).astype(np.float32)
+
+        up_ref = F.interpolate(
+            torch.from_numpy(mask).view(1, 1, 24, 24), size=(height, width),
+            mode="bicubic").squeeze().numpy()
+        up_ours = G.resize_bicubic(mask, height, width)
+        np.testing.assert_allclose(up_ours, up_ref, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"trial {trial}")
+
+        dets = []
+        for _ in range(6):
+            x = float(rng.uniform(0, width - 10))
+            y = float(rng.uniform(0, height - 10))
+            dets.append([x, y, float(rng.uniform(4, width - x)),
+                         float(rng.uniform(4, height - y))])
+
+        # the reference ranking loop, verbatim semantics (utils.py:181-188)
+        m = torch.from_numpy(up_ref)
+        best_score, best_box = 0.0, None
+        for det in dets:
+            s = m[int(det[1]):int(det[1] + det[3]),
+                  int(det[0]):int(det[0] + det[2])]
+            score = s.sum().item() / (det[2] * det[3]) ** 0.5
+            if score > best_score:
+                best_score, best_box = score, det[:4]
+        assert G.rank_detections(up_ref.astype(np.float64), dets, 0.5) == best_box
+
+
+def test_grounding_mask_eval_end_to_end():
+    """grounding_eval_mask scores 1.0 when the attention mass sits on the
+    referred box and 0.0 when it sits on a far proposal; the vlue variant
+    agrees on the same records."""
+    from efficientvlm_tpu.evaluation import grounding as G
+
+    height, width = 96, 96
+    gt = [8.0, 8.0, 24.0, 24.0]          # xywh
+    decoy = [64.0, 64.0, 24.0, 24.0]     # IoU 0 with gt
+    dets = {7: [gt, decoy]}
+    sizes = {7: (height, width)}
+
+    def mask_on(box):
+        m = np.zeros((24, 24))
+        x0, y0 = int(box[0] / 4), int(box[1] / 4)
+        m[y0:y0 + int(box[3] / 4), x0:x0 + int(box[2] / 4)] = 1.0
+        return m
+
+    results = [{"ref_id": 1, "pred": mask_on(gt)},
+               {"ref_id": 2, "pred": mask_on(decoy)}]
+    out = G.grounding_eval_mask(
+        results, dets, ref_boxes={1: gt, 2: gt},
+        ref_splits={1: "val", 2: "testA"}, ref_images={1: 7, 2: 7},
+        image_sizes=sizes)
+    assert out == {"val_d": 1.0, "testA_d": 0.0, "testB_d": 0.0}
+
+    records = [
+        {"ref_id": 1, "bbox": gt, "height": height, "width": width, "dets": dets[7]},
+        {"ref_id": 2, "bbox": gt, "height": height, "width": width, "dets": dets[7]},
+    ]
+    assert G.grounding_eval_mask_vlue(results, records) == {"score": 0.5}
