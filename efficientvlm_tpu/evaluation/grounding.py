@@ -57,6 +57,30 @@ def grounding_eval_bbox(
     return {k: 100.0 * correct[k] / total[k] if total[k] else 0.0 for k in total}
 
 
+def load_refer_maps(refs_file: str, instances_file: str) -> dict:
+    """Build the dict maps the eval functions take from RefCOCO(+/g)
+    annotation files — the only parts of the reference's REFER api
+    (refTools/refer_python3.py:59-123) the grounding evals consume:
+    `refs(<split_by>).p` (pickle list of refs with ref_id/ann_id/image_id/
+    split) and the COCO-format `instances.json` (images: id/height/width;
+    annotations: id/bbox)."""
+    import json
+    import pickle
+
+    with open(refs_file, "rb") as f:
+        refs = pickle.load(f)
+    with open(instances_file) as f:
+        instances = json.load(f)
+    anns = {a["id"]: a for a in instances["annotations"]}
+    return {
+        "ref_boxes": {r["ref_id"]: anns[r["ann_id"]]["bbox"] for r in refs},
+        "ref_splits": {r["ref_id"]: r["split"] for r in refs},
+        "ref_images": {r["ref_id"]: r["image_id"] for r in refs},
+        "image_sizes": {i["id"]: (i["height"], i["width"])
+                        for i in instances["images"]},
+    }
+
+
 def _cubic_weights(x: np.ndarray, a: float = -0.75) -> np.ndarray:
     """Keys cubic-convolution kernel with a=-0.75 (torch bicubic)."""
     ax = np.abs(x)

@@ -907,3 +907,40 @@ def test_grounding_mask_eval_end_to_end():
         {"ref_id": 2, "bbox": gt, "height": height, "width": width, "dets": dets[7]},
     ]
     assert G.grounding_eval_mask_vlue(results, records) == {"score": 0.5}
+
+
+def test_load_refer_maps_round_trip(tmp_path):
+    """load_refer_maps reads the REFER file formats (refs pickle +
+    COCO instances.json, refTools/refer_python3.py:59-123) into the maps
+    grounding_eval_mask/bbox consume."""
+    import json
+    import pickle
+
+    from efficientvlm_tpu.evaluation import grounding as G
+
+    refs = [
+        {"ref_id": 1, "ann_id": 10, "image_id": 7, "split": "val"},
+        {"ref_id": 2, "ann_id": 11, "image_id": 7, "split": "testA"},
+    ]
+    instances = {
+        "images": [{"id": 7, "height": 96, "width": 96}],
+        "annotations": [{"id": 10, "bbox": [8, 8, 24, 24]},
+                        {"id": 11, "bbox": [64, 64, 24, 24]}],
+        "categories": [],
+    }
+    refs_file = tmp_path / "refs(unc).p"
+    inst_file = tmp_path / "instances.json"
+    refs_file.write_bytes(pickle.dumps(refs))
+    inst_file.write_text(json.dumps(instances))
+
+    maps = G.load_refer_maps(str(refs_file), str(inst_file))
+    assert maps["ref_boxes"] == {1: [8, 8, 24, 24], 2: [64, 64, 24, 24]}
+    assert maps["ref_splits"] == {1: "val", 2: "testA"}
+    assert maps["ref_images"] == {1: 7, 2: 7}
+    assert maps["image_sizes"] == {7: (96, 96)}
+
+    # drives the bbox eval directly from the loaded maps
+    results = [{"ref_id": 1, "pred": [0.2083, 0.2083, 0.25, 0.25],
+                "width": 96, "height": 96}]
+    out = G.grounding_eval_bbox(results, maps["ref_boxes"], maps["ref_splits"])
+    assert out["val"] == 100.0
