@@ -435,6 +435,11 @@ class CaptioningEvalDataset:
 
 
 class GroundingDataset:
+    """Weakly-supervised grounding pairs (reference grounding_dataset,
+    dataset/grounding_dataset.py:17-54): train mode yields a DENSE per-image
+    index (same image -> same idx, the ITC idx-aware soft-label key);
+    eval mode yields the ref_id for grounding_eval_mask."""
+
     def __init__(self, ann_file, transform: ImageTransform, image_root: str,
                  max_words: int = 30, mode: str = "train"):
         self.ann = load_ann(ann_file)
@@ -442,6 +447,12 @@ class GroundingDataset:
         self.image_root = image_root
         self.max_words = max_words
         self.mode = mode
+        if mode == "train":
+            self.img_ids = {}
+            for ann in self.ann:
+                img_id = ann["image"].split("/")[-1]
+                if img_id not in self.img_ids:
+                    self.img_ids[img_id] = len(self.img_ids)
 
     def __len__(self):
         return len(self.ann)
@@ -451,7 +462,8 @@ class GroundingDataset:
         image = open_image(ann["image"], is_path=True, image_root=self.image_root)
         caption = pre_caption(ann["text"], self.max_words)
         if self.mode == "train":
-            return self.transform(image), caption, ann["ref_id"]
+            return (self.transform(image), caption,
+                    self.img_ids[ann["image"].split("/")[-1]])
         return self.transform(image), caption, ann["ref_id"]
 
 

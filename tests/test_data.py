@@ -198,3 +198,30 @@ def test_collect_result_hdfs_wdir(tmp_path):
     data = json.load(open(merged))
     assert sorted(d["id"] for d in data) == [1, 2]
     assert (store / "res.json").exists()  # merged result published too
+
+
+def test_grounding_dataset_modes(tmp_path):
+    """Train mode yields a DENSE per-image idx (same image -> same idx, the
+    ITC soft-label key — ref grounding_dataset, grounding_dataset.py:27-52);
+    eval mode yields ref_id."""
+    os.makedirs(tmp_path / "imgs", exist_ok=True)
+    for i in range(2):
+        _write_img(tmp_path / "imgs" / f"{i}.jpg")
+    ann = [
+        {"image": "0.jpg", "text": "a red ball", "ref_id": 101},
+        {"image": "0.jpg", "text": "the red ball", "ref_id": 102},
+        {"image": "1.jpg", "text": "a blue cube", "ref_id": 103},
+    ]
+    json.dump(ann, open(tmp_path / "g.json", "w"))
+
+    ds = DS.GroundingDataset([str(tmp_path / "g.json")],
+                             ImageTransform.train(32, seed=0),
+                             str(tmp_path / "imgs"), mode="train")
+    idxs = [ds[i][2] for i in range(3)]
+    assert idxs[0] == idxs[1] and idxs[0] != idxs[2]  # dense per-image
+    assert sorted(set(idxs)) == [0, 1]
+
+    ev = DS.GroundingDataset([str(tmp_path / "g.json")],
+                             ImageTransform.test(32),
+                             str(tmp_path / "imgs"), mode="eval")
+    assert [ev[i][2] for i in range(3)] == [101, 102, 103]
