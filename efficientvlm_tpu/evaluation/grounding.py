@@ -196,6 +196,28 @@ def grounding_eval_mask_vlue(
     return {"score": correct / num if num else 0.0}
 
 
+def grounding_eval_bbox_vlue(
+    results: List[dict],
+    test_records: List[dict],
+    *,
+    iou_thresh: float = 0.5,
+) -> dict:
+    """VLUE single-split bbox variant (reference grounding_eval_bbox_vlue,
+    dataset/utils.py:299-331): records carry their own bbox/height/width;
+    predictions are normalized cxcywh. Returns {'score': fraction}."""
+    ref_map = {rec["ref_id"]: rec for rec in test_records}
+    correct, num = 0, 0
+    for r in results:
+        rec = ref_map[r["ref_id"]]
+        cx, cy, w, h = r["pred"]
+        width, height = rec["width"], rec["height"]
+        pred_xywh = [(cx - w / 2) * width, (cy - h / 2) * height,
+                     w * width, h * height]
+        num += 1
+        correct += int(compute_iou_xywh(pred_xywh, rec["bbox"]) >= iou_thresh)
+    return {"score": correct / num if num else 0.0}
+
+
 def nlvr_accuracy(predictions: np.ndarray, targets: np.ndarray) -> float:
     """reference Eff_NLVR.py:194-219."""
     return 100.0 * float((np.asarray(predictions).argmax(-1) == np.asarray(targets)).mean())

@@ -944,3 +944,15 @@ def test_load_refer_maps_round_trip(tmp_path):
                 "width": 96, "height": 96}]
     out = G.grounding_eval_bbox(results, maps["ref_boxes"], maps["ref_splits"])
     assert out["val"] == 100.0
+
+
+def test_grounding_bbox_vlue():
+    """Single-split bbox variant (ref dataset/utils.py:299-331)."""
+    from efficientvlm_tpu.evaluation import grounding as G
+
+    gt = [8.0, 8.0, 24.0, 24.0]
+    records = [{"ref_id": 1, "bbox": gt, "height": 96, "width": 96},
+               {"ref_id": 2, "bbox": gt, "height": 96, "width": 96}]
+    hit = {"ref_id": 1, "pred": [0.2083, 0.2083, 0.25, 0.25]}   # on gt
+    miss = {"ref_id": 2, "pred": [0.8, 0.8, 0.25, 0.25]}        # far away
+    assert G.grounding_eval_bbox_vlue([hit, miss], records) == {"score": 0.5}
