@@ -117,7 +117,10 @@ def rank_detections(mask_up: np.ndarray, dets, alpha: float):
     (reference dataset/utils.py:181-188). Box coords are float xywh; slice
     bounds truncate like the reference's int() slicing. Returns the winning
     [x, y, w, h] (None when every score is <= 0 — the reference would crash
-    on an unbound pred_box there)."""
+    on an unbound pred_box there). Deliberate divergence: coords <= -1 clamp
+    to 0 here, while the reference's raw Python slicing would wrap around
+    from the array end (nonsensical for boxes; coords in [-1, 0) truncate to
+    0 in both)."""
     H, W = mask_up.shape
     ii = np.zeros((H + 1, W + 1))
     ii[1:, 1:] = mask_up.cumsum(0).cumsum(1)  # summed-area table

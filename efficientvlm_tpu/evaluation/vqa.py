@@ -43,7 +43,7 @@ COMMA_STRIP = re.compile(r"(\d)(,)(\d)")
 def process_punctuation(text: str) -> str:
     out = text
     for p in PUNCT:
-        if (p + " " in text or " " + p in text) or (COMMA_STRIP.search(text) is not None and p == ","):
+        if (p + " " in text or " " + p in text) or COMMA_STRIP.search(text) is not None:
             out = out.replace(p, "")
         else:
             out = out.replace(p, " ")

@@ -984,6 +984,9 @@ def test_vqa_accuracy_matches_reference_vqaEval():
         5: (["isnt"] * 10, "isn't", "is the", "yes/no"),
         6: (["yes"] * 6 + ["no"] * 4, "yes", "is the", "yes/no"),
         7: (["down town"] * 5 + ["downtown"] * 5, "down town", "where", "other"),
+        # digit-comma + other punct: commaStrip match strips EVERY punct
+        # char with '' ('1,000-2,000' -> '10002000'), vqaEval.py:125
+        8: (["1,000-2,000"] * 6 + ["1000"] * 4, "1,000-2,000", "how many", "number"),
     }
     gts, res_qa = {}, {}
     for qid, (answers, pred, qt, at) in cases.items():
@@ -1011,5 +1014,6 @@ def test_vqa_accuracy_matches_reference_vqaEval():
     assert ours["perQuestionType"] == ref.accuracy["perQuestionType"]
     assert ours["perAnswerType"] == ref.accuracy["perAnswerType"]
     assert ours["evalQA"] == ref.evalQA
-    assert abs(vqa_accuracy(results, annotations) * 0 + ours["overall"]
-               - ref.accuracy["overall"]) < 1e-9
+    # plain-overall scorer parity (unrounded, hence round to the
+    # reference's 2-digit setAccuracy precision)
+    assert round(vqa_accuracy(results, annotations), 2) == ref.accuracy["overall"]
