@@ -67,29 +67,66 @@ def retrieval_forward(model, params, image, text_ids, text_atts, impl="fused", d
     return image_feat, text_feat, itm
 
 
-def bench_model(model, params, batch=32, image_res=384, iters=20, impl="fused"):
+# v5e peak compute per chip (BF16 MXU / INT8 MXU), for MFU
+PEAK_TFLOPS = {"bf16": 197.0, "int8": 394.0}
+
+
+def timed_tput(fn, args, items_per_call, *, iters=20, runs=3, warmups=3,
+               peak="bf16"):
+    """Median-of-`runs` pipelined throughput with >= `warmups` warm calls
+    (the tunnel pays 28-37s of lazy buffer upload on the first 1-2 executions
+    after compile — CLAUDE.md), plus XLA cost-analysis FLOPs -> MFU.
+
+    Returns {"tput", "tputs", "tflops_per_s", "mfu"}. FLOPs come from the
+    compiled module's cost analysis; for programs whose hot loop is a While
+    (beam decode) XLA counts the body once, so callers mark those phases'
+    mfu as None rather than report an undercount."""
+    import jax
+    import numpy as np
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    try:
+        flops = float(compiled.cost_analysis().get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    out = None
+    for _ in range(warmups):
+        out = compiled(*args)
+    # NOTE: on the tunneled TPU backend block_until_ready returns before
+    # execution completes; a host fetch is the only reliable sync.
+    np.asarray(jax.tree.leaves(out)[-1])
+    tputs = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        outs = [compiled(*args) for _ in range(iters)]
+        np.asarray(jax.tree.leaves(outs[-1])[-1])
+        tputs.append(items_per_call * iters / (time.perf_counter() - t0))
+    tput = float(np.median(tputs))
+    tflops_per_s = flops * tput / items_per_call / 1e12 if flops > 0 else None
+    return {
+        "tput": tput,
+        "tputs": [round(t, 2) for t in tputs],
+        "tflops_per_s": round(tflops_per_s, 2) if tflops_per_s else None,
+        "mfu": round(tflops_per_s / PEAK_TFLOPS[peak], 4) if tflops_per_s else None,
+    }
+
+
+def bench_model(model, params, batch=32, image_res=384, iters=20, impl="fused",
+                peak="bf16"):
     """impl='fused': the Pallas fused QKV+attention+gating+out-proj layer
     kernel (ops/pallas_fused_mha.py) — ~27% over XLA's fusion at these
     shapes, now supporting the pruned rectangular widths; 'xla' and the
     standalone 'pallas' attention kernel remain available."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     image = jax.random.normal(jax.random.PRNGKey(1), (batch, image_res, image_res, 3), jnp.bfloat16)
     text_ids = jax.random.randint(jax.random.PRNGKey(2), (batch, 40), 0, 30522)
     text_atts = jnp.ones((batch, 40), jnp.int32)
 
-    fwd = jax.jit(lambda p, i, ti, ta: retrieval_forward(model, p, i, ti, ta, impl=impl))
-    out = fwd(params, image, text_ids, text_atts)
-    # NOTE: on the tunneled TPU backend block_until_ready returns before
-    # execution completes; a host fetch is the only reliable sync.
-    np.asarray(out[2])
-    t0 = time.perf_counter()
-    outs = [fwd(params, image, text_ids, text_atts) for _ in range(iters)]
-    np.asarray(outs[-1][2])
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+    fwd = lambda p, i, ti, ta: retrieval_forward(model, p, i, ti, ta, impl=impl)
+    return timed_tput(fwd, (params, image, text_ids, text_atts), batch,
+                      iters=iters, peak=peak)
 
 
 def _cast_bf16(params):
@@ -103,12 +140,12 @@ def _cast_bf16(params):
 
 def phase_teacher():
     model, params = build(12, 12)
-    print(json.dumps({"tput": bench_model(model, _cast_bf16(params))}))
+    print(json.dumps(bench_model(model, _cast_bf16(params))))
 
 
 def phase_student():
     model, params = build(6, 6)
-    print(json.dumps({"tput": bench_model(model, _cast_bf16(params))}))
+    print(json.dumps(bench_model(model, _cast_bf16(params))))
 
 
 def phase_pruned(sparsity=0.25):
@@ -125,7 +162,7 @@ def phase_pruned(sparsity=0.25):
     zs = aligned_zs(sparsity)
     realized = zs.pop("__realized_sparsity__")
     params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
-    print(json.dumps({"tput": bench_model(model, _cast_bf16(params)),
+    print(json.dumps({**bench_model(model, _cast_bf16(params)),
                       "sparsity": sparsity, "realized_sparsity": realized}))
 
 
@@ -145,7 +182,7 @@ def phase_pruned_int8(sparsity=0.25, mode="w8a8"):
     zs.pop("__realized_sparsity__")
     params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
     params = quantize_params(_cast_bf16(params), mode=mode)  # scales stay f32
-    print(json.dumps({"tput": bench_model(model, params, impl="xla"),
+    print(json.dumps({**bench_model(model, params, impl="xla", peak="int8"),
                       "mode": mode, "sparsity": sparsity}))
 
 
@@ -182,20 +219,14 @@ def bench_vqa(model, params, batch=16, image_res=480, iters=10, k=128,
     a_ids = jax.random.randint(jax.random.PRNGKey(3), (num_answers, answer_len), 0, 30522)
     a_atts = jnp.ones((num_answers, answer_len), jnp.int32)
 
-    fwd = jax.jit(lambda p, i, qi, qa: model.forward_eval(
-        p, i, qi, qa, a_ids, a_atts, k=k, dtype=jnp.bfloat16, impl=impl))
-    out = fwd(params, image, q_ids, q_atts)
-    np.asarray(out[0])  # host-fetch sync (tunnel: block_until_ready lies)
-    t0 = time.perf_counter()
-    outs = [fwd(params, image, q_ids, q_atts) for _ in range(iters)]
-    np.asarray(outs[-1][0])
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+    fwd = lambda p, i, qi, qa: model.forward_eval(
+        p, i, qi, qa, a_ids, a_atts, k=k, dtype=jnp.bfloat16, impl=impl)
+    return timed_tput(fwd, (params, image, q_ids, q_atts), batch, iters=iters)
 
 
 def phase_vqa_teacher():
     model, params = build_vqa(12)
-    print(json.dumps({"tput": bench_vqa(model, _cast_bf16(params))}))
+    print(json.dumps(bench_vqa(model, _cast_bf16(params))))
 
 
 def phase_pruned_vqa(sparsity=0.35):
@@ -211,7 +242,7 @@ def phase_pruned_vqa(sparsity=0.35):
     zs = aligned_zs(sparsity, decoder_layers=num_dec)
     realized = zs.pop("__realized_sparsity__")
     params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
-    print(json.dumps({"tput": bench_vqa(model, _cast_bf16(params)),
+    print(json.dumps({**bench_vqa(model, _cast_bf16(params)),
                       "sparsity": sparsity, "realized_sparsity": realized}))
 
 
@@ -245,21 +276,19 @@ def bench_caption(model, params, batch=16, image_res=384, iters=5,
     # "a picture of" style prompt: 4 tokens incl. [CLS], SEP dropped
     prompt = jnp.asarray([[101, 1037, 3861, 1997]] * batch, jnp.int32)
 
-    gen = jax.jit(lambda p, img, pids: model.generate(
+    gen = lambda p, img, pids: model.generate(
         p, img, pids, num_beams=num_beams, max_length=max_length, min_length=5,
-        eos_id=102, pad_id=0, dtype=jnp.bfloat16, impl=impl))
-    out = gen(params, image, prompt)
-    np.asarray(out)  # host-fetch sync (tunnel: block_until_ready lies)
-    t0 = time.perf_counter()
-    outs = [gen(params, image, prompt) for _ in range(iters)]
-    np.asarray(outs[-1])
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+        eos_id=102, pad_id=0, dtype=jnp.bfloat16, impl=impl)
+    out = timed_tput(gen, (params, image, prompt), batch, iters=iters)
+    # the decode loop is a While whose body XLA cost analysis counts once:
+    # the FLOP estimate undercounts ~max_length x — don't report it as MFU
+    out["tflops_per_s"] = out["mfu"] = None
+    return out
 
 
 def phase_caption_teacher():
     model, params = build_caption(12)
-    print(json.dumps({"tput": bench_caption(model, _cast_bf16(params))}))
+    print(json.dumps(bench_caption(model, _cast_bf16(params))))
 
 
 def phase_pruned_caption(sparsity=0.25):
@@ -273,7 +302,7 @@ def phase_pruned_caption(sparsity=0.25):
     zs = aligned_zs(sparsity)
     realized = zs.pop("__realized_sparsity__")
     params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
-    print(json.dumps({"tput": bench_caption(model, _cast_bf16(params)),
+    print(json.dumps({**bench_caption(model, _cast_bf16(params)),
                       "sparsity": sparsity, "realized_sparsity": realized}))
 
 
@@ -445,20 +474,24 @@ def main():
         }))
         return
 
-    teacher = _run_phase("teacher")["tput"]
-    student = _run_phase("student")["tput"]
-    pruned = _run_phase("pruned")["tput"]
-    pruned_int8 = None
+    _empty = {"tput": None, "mfu": None, "tputs": None}
+    teacher_d = _run_phase("teacher")
+    student_d = _run_phase("student")
+    pruned_d = _run_phase("pruned")
+    teacher, student, pruned = teacher_d["tput"], student_d["tput"], pruned_d["tput"]
+    int8_d = dict(_empty)
     try:
-        pruned_int8 = _run_phase("pruned_int8").get("tput")
+        int8_d = _run_phase("pruned_int8")
     except Exception as e:
         print(f"### int8 phase failed: {e}", file=sys.stderr)
-    pruned_vqa = vqa_teacher = None
+    pruned_int8 = int8_d.get("tput")
+    vqa_d = vqa_teacher_d = dict(_empty)
     try:
-        pruned_vqa = _run_phase("pruned_vqa", timeout=1500).get("tput")
-        vqa_teacher = _run_phase("vqa_teacher", timeout=1500).get("tput")
+        vqa_d = _run_phase("pruned_vqa", timeout=1500)
+        vqa_teacher_d = _run_phase("vqa_teacher", timeout=1500)
     except Exception as e:
         print(f"### vqa phase failed: {e}", file=sys.stderr)
+    pruned_vqa, vqa_teacher = vqa_d.get("tput"), vqa_teacher_d.get("tput")
     pruned_caption = caption_teacher = None
     try:
         pruned_caption = _run_phase("pruned_caption", timeout=1800).get("tput")
@@ -504,6 +537,17 @@ def main():
         "student_dense_pairs_per_sec": round(student, 2),
         "pruned_sparsity": 0.25,
         "student_vs_teacher": round(student / teacher, 3),
+        # MFU vs v5e bf16 197 / int8 394 peak TFLOPS (XLA cost analysis)
+        "mfu_pruned": pruned_d.get("mfu"),
+        "mfu_teacher": teacher_d.get("mfu"),
+        "mfu_student": student_d.get("mfu"),
+        "mfu_pruned_int8": int8_d.get("mfu"),
+        "mfu_pruned_vqa": vqa_d.get("mfu"),
+        "mfu_vqa_teacher": vqa_teacher_d.get("mfu"),
+        "tflops_per_s_pruned": pruned_d.get("tflops_per_s"),
+        "tflops_per_s_teacher": teacher_d.get("tflops_per_s"),
+        "pruned_tputs_median_of": pruned_d.get("tputs"),
+        "teacher_tputs_median_of": teacher_d.get("tputs"),
         "pruned_int8_pairs_per_sec": round(pruned_int8, 2) if pruned_int8 else None,
         "pruned_int8_vs_teacher": (
             round(pruned_int8 / teacher, 3) if pruned_int8 else None),

@@ -1,0 +1,195 @@
+"""Full BASE-geometry forward parity vs the reference torch implementation.
+
+The toy-config differentials in test_reference_differential.py prove the
+math; this file proves the IMPORT REMAPS at the real operating point —
+12L ViT-B/16 @224px + 12L BERT-base with fusion_layer 6 (reference
+configs/config_clipvitB.json + models/xvlm.py:189-233) — where a
+head-ordering or interleave bug invisible at 4 heads would silently
+destroy quality (SURVEY §7 hard part #1, remaps models/xvlm.py:236-277).
+
+One batch-1 forward per tower + fusion + MLM/ITM heads + ITC features,
+asserted in f32 at rtol 1e-3, plus per-tensor accounting: every reference
+state-dict tensor must be consumed by the remap exactly once (scalar counts
+and |x|-sum totals agree — the remaps only transpose/reshape/split, all of
+which preserve both).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_reference_differential import REFERENCE, _load_ref, _sd_numpy
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "models")),
+    reason="reference checkout not available",
+)
+
+WIDTH, LAYERS, HEADS, INTER = 768, 12, 12, 3072
+IMG_RES, PATCH, FUSION, VOCAB, EMBED = 224, 16, 6, 30522, 256
+
+
+def _abs_sum(tree_or_sd) -> float:
+    import jax
+
+    leaves = (tree_or_sd.values() if isinstance(tree_or_sd, dict)
+              and all(isinstance(v, np.ndarray) for v in tree_or_sd.values())
+              else jax.tree.leaves(tree_or_sd))
+    return float(sum(np.abs(np.asarray(v, np.float64)).sum() for v in leaves))
+
+
+def _n_scalars(tree) -> int:
+    import jax
+
+    return int(sum(np.asarray(v).size for v in jax.tree.leaves(tree)))
+
+
+@pytest.mark.slow
+def test_base_geometry_forward_and_remap_accounting():
+    import torch
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+    from efficientvlm_tpu.config import TextConfig, VisionConfig
+    from efficientvlm_tpu.models import bert as B
+    from efficientvlm_tpu.models import vit as V
+    from efficientvlm_tpu.models.xvlm import mlp_head_apply
+    from efficientvlm_tpu.train import checkpoint as C
+
+    clip_vit = _load_ref("ref_clip_vit_base", "clip_vit.py")
+    xbert = _load_ref("ref_xbert_base", "xbert.py")
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    torch.manual_seed(0)
+    ref_vit = clip_vit.CLIPVisionTransformer(
+        IMG_RES, PATCH, WIDTH, "quick_gelu", HEADS, 0.0, INTER, LAYERS,
+        local_attn_depth=0).eval()
+    rcfg = BertConfig(
+        vocab_size=VOCAB, hidden_size=WIDTH, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=512, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    rcfg.fusion_layer = FUSION
+    rcfg.encoder_width = WIDTH
+    ref_bert = xbert.BertForMaskedLM(rcfg).eval()
+    # heads exactly as XVLMBase builds them (models/xvlm.py:189-233)
+    vision_proj = nn.Linear(WIDTH, EMBED).eval()
+    text_proj = nn.Linear(WIDTH, EMBED).eval()
+    itm_head = nn.Sequential(
+        nn.Linear(WIDTH, WIDTH * 2), nn.LayerNorm(WIDTH * 2), nn.GELU(),
+        nn.Linear(WIDTH * 2, 2),
+    ).eval()
+
+    # ---- assemble the XVLMBase-shaped .th state dict ----
+    sd = {}
+    for mod, prefix in ((ref_vit, "vision_encoder."), (ref_bert, "text_encoder."),
+                        (vision_proj, "vision_proj."), (text_proj, "text_proj."),
+                        (itm_head, "itm_head.")):
+        sd.update({prefix + k: v for k, v in _sd_numpy(mod).items()})
+    sd["temp"] = np.asarray(0.07, np.float32)
+
+    params = C.xvlm_params_from_state_dict(
+        sd, vision_layers=LAYERS, text_layers=LAYERS, fusion_layer=FUSION,
+        num_patches=(IMG_RES // PATCH) ** 2)
+
+    # ---- per-tensor accounting: remap consumed EVERY checkpoint scalar ----
+    # legitimate skips: position_ids buffers, and the tied MLM decoder bias
+    # (HF stores cls.predictions.bias AND cls.predictions.decoder.bias as the
+    # SAME tensor; the remap consumes it once — bert_params_from_state_dict)
+    skipped = [k for k in sd if k.endswith("position_ids")]
+    if "text_encoder.cls.predictions.decoder.bias" in sd:
+        dup = "text_encoder.cls.predictions.bias"
+        np.testing.assert_array_equal(
+            sd[dup], sd["text_encoder.cls.predictions.decoder.bias"])
+        skipped.append(dup)
+    consumable = {k: v for k, v in sd.items() if k not in skipped}
+    n_sd = int(sum(v.size for v in consumable.values()))
+    n_tree = _n_scalars(params)
+    assert n_tree == n_sd, (n_tree, n_sd)
+    # transposes/reshapes/splits preserve the |x| mass exactly
+    np.testing.assert_allclose(
+        _abs_sum(params), _abs_sum(list(consumable.values())), rtol=1e-6)
+
+    vcfg = VisionConfig.create(
+        vision_width=WIDTH, num_attention_heads=HEADS, intermediate_size=INTER,
+        num_hidden_layers=LAYERS, image_res=IMG_RES, patch_size=PATCH,
+        hidden_act="quick_gelu",
+    )
+    tcfg = TextConfig.create(
+        vocab_size=VOCAB, hidden_size=WIDTH, num_hidden_layers=LAYERS,
+        fusion_layer=FUSION, num_attention_heads=HEADS, intermediate_size=INTER,
+        encoder_width=WIDTH, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randn(1, 3, IMG_RES, IMG_RES).astype(np.float32) * 0.5
+    ids = rng.randint(0, VOCAB, (1, 20)).astype(np.int64)
+    ids[0, 0] = 101
+    atts = np.ones((1, 20), np.int64)
+
+    # ---- vision tower @ full 224px geometry ----
+    with torch.no_grad():
+        t_img = ref_vit(torch.from_numpy(img))[0].numpy()
+    o_img = np.asarray(V.vit_apply(
+        params["vision"], np.transpose(img, (0, 2, 3, 1)), vcfg)["last_hidden"])
+    np.testing.assert_allclose(o_img, t_img, rtol=1e-3, atol=1e-3)
+
+    # ---- text tower (text mode) + fusion (multi_modal over image states),
+    #      MLM logits through the tied decoder head ----
+    img_atts = np.ones((1, t_img.shape[1]), np.int64)
+    with torch.no_grad():
+        t_out = ref_bert.bert(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(atts),
+            mode="text").last_hidden_state.numpy()
+        t_mm = ref_bert.bert(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(atts),
+            encoder_hidden_states=torch.from_numpy(t_img),
+            encoder_attention_mask=torch.from_numpy(img_atts),
+            mode="multi_modal").last_hidden_state.numpy()
+        t_mlm = ref_bert(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(atts),
+            encoder_hidden_states=torch.from_numpy(t_img),
+            encoder_attention_mask=torch.from_numpy(img_atts),
+            return_logits=True).numpy()
+
+    o_out = np.asarray(B.bert_apply(
+        params["text"], jnp.asarray(ids), tcfg, attention_mask=jnp.asarray(atts),
+        mode="text")["last_hidden"])
+    np.testing.assert_allclose(o_out, t_out, rtol=1e-3, atol=1e-3)
+
+    o_mm = np.asarray(B.bert_apply(
+        params["text"], jnp.asarray(ids), tcfg, attention_mask=jnp.asarray(atts),
+        encoder_hidden=jnp.asarray(t_img),
+        encoder_attention_mask=jnp.asarray(img_atts),
+        mode="multi_modal")["last_hidden"])
+    np.testing.assert_allclose(o_mm, t_mm, rtol=1e-3, atol=1e-3)
+
+    o_mlm = np.asarray(B.mlm_head_apply(
+        params["text"]["cls"], jnp.asarray(o_mm), tcfg))
+    np.testing.assert_allclose(o_mlm, t_mlm, rtol=1e-3, atol=2e-3)
+
+    # ---- ITC features + ITM head at the fusion boundary ----
+    with torch.no_grad():
+        t_vfeat = torch.nn.functional.normalize(
+            vision_proj(torch.from_numpy(t_img[:, 0])), dim=-1).numpy()
+        t_tfeat = torch.nn.functional.normalize(
+            text_proj(torch.from_numpy(t_out[:, 0])), dim=-1).numpy()
+        t_itm = itm_head(torch.from_numpy(t_mm[:, 0])).numpy()
+
+    from efficientvlm_tpu.ops.basic import dense
+
+    o_vfeat = np.asarray(dense(params["vision_proj"], jnp.asarray(o_img[:, 0])))
+    o_vfeat = o_vfeat / np.linalg.norm(o_vfeat, axis=-1, keepdims=True)
+    o_tfeat = np.asarray(dense(params["text_proj"], jnp.asarray(o_out[:, 0])))
+    o_tfeat = o_tfeat / np.linalg.norm(o_tfeat, axis=-1, keepdims=True)
+    np.testing.assert_allclose(o_vfeat, t_vfeat, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(o_tfeat, t_tfeat, rtol=1e-3, atol=1e-3)
+
+    o_itm = np.asarray(mlp_head_apply(params["itm_head"], jnp.asarray(o_mm[:, 0])))
+    np.testing.assert_allclose(o_itm, t_itm, rtol=1e-3, atol=1e-3)
