@@ -377,19 +377,11 @@ def phase_serving(sparsity=0.25, clients=8, requests=64, impl="fused"):
             base, data=payloads[ci % len(payloads)],
             headers={"Content-Type": "application/json"}), timeout=3000).read()
 
-    def _fire(n):
-        ts = [threading.Thread(target=_post, args=(j,)) for j in range(n)]
-        for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
-
-    for _ in range(2):  # bucket warmups (compiles are not the bench)
-        _fire(1)
-    b = 2
-    while b <= min(clients, 16):
-        _fire(b)
-        b *= 2
+    # deterministic per-bucket warmup (compiles are not the bench), plus
+    # two HTTP round-trips to warm the request path itself
+    service.warmup_buckets(min(clients, 16))
+    for _ in range(2):
+        _post(0)
     service.reset_stats()
 
     n_done, lock = [0], threading.Lock()
@@ -412,11 +404,20 @@ def phase_serving(sparsity=0.25, clients=8, requests=64, impl="fused"):
     stats = service.stats()
     server.shutdown()
     service.close()
+    def _r(x, nd=1):
+        return round(x, nd) if x is not None else None
+
     print(json.dumps({
         "tput": round(requests / dt, 2),
         "mean_batch_size": round(stats["mean_batch_size"], 2),
-        "p50_ms": round(stats["p50_ms"], 1) if stats["p50_ms"] else None,
-        "p95_ms": round(stats["p95_ms"], 1) if stats["p95_ms"] else None,
+        "p50_ms": _r(stats["p50_ms"]),
+        "p95_ms": _r(stats["p95_ms"]),
+        # per-stage attribution (queue vs host decode vs device)
+        "queue_wait_p95_ms": _r(stats["queue_wait_p95_ms"]),
+        "dispatch_mean_ms": _r(stats["dispatch_mean_ms"]),
+        "finish_mean_ms": _r(stats["finish_mean_ms"]),
+        "preprocess_mean_ms": _r(stats["preprocess_mean_ms"]),
+        "buckets": stats["buckets"],
     }))
 
 
@@ -564,6 +565,9 @@ def main():
         "serving_caption_req_per_sec": serving.get("tput") if serving else None,
         "serving_mean_batch_size": serving.get("mean_batch_size") if serving else None,
         "serving_p95_ms": serving.get("p95_ms") if serving else None,
+        "serving_stages": ({k: serving.get(k) for k in (
+            "queue_wait_p95_ms", "dispatch_mean_ms", "finish_mean_ms",
+            "preprocess_mean_ms", "buckets")} if serving else None),
     }))
 
 

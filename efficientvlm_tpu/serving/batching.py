@@ -3,11 +3,26 @@
 TPU inference throughput comes from batch work on the MXU: one image at
 batch 1 wastes most of the chip, and XLA recompiles per batch shape. The
 batcher coalesces concurrent single requests into batches (up to
-max_batch_size, waiting at most max_wait_ms after the first arrival) on ONE
-worker thread — all device work stays single-threaded, only host-side
-decode runs on the request threads — and `pad_to_bucket` quantizes batch
-sizes to powers of two so the jitted program compiles a handful of shapes,
-not one per batch size.
+max_batch_size, waiting at most max_wait_ms after the first arrival) and
+`pad_to_bucket` quantizes batch sizes to powers of two so the jitted
+program compiles a handful of shapes, not one per batch size.
+
+Two execution modes:
+
+- single-stage (`run_batch` only): one worker thread runs the whole batch
+  (dispatch + wait) — the original design, kept for simple callers/tests.
+- pipelined (`run_batch` = dispatch, plus `finish_batch`): the dispatch
+  thread uploads + launches the device program (JAX dispatch is async) and
+  hands the in-flight handle to a finisher thread that blocks on the result
+  fetch + host-side postprocess. While a batch executes on the chip, the
+  dispatch thread is already collecting and uploading the next one — and
+  request collection deliberately keeps draining PAST max_wait_ms while the
+  pipeline is full (the device is busy anyway, so waiting costs no latency
+  and grows the next batch toward max_batch_size).
+
+Per-stage timing (queue wait / dispatch / finish, per-bucket batch counts)
+is tracked for `/stats` so a slow endpoint can be attributed to queueing,
+host work, or device work instead of guessed at.
 
 No reference counterpart (the reference ships no serving path); this backs
 scripts/serve.py.
@@ -18,8 +33,9 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import Counter, deque
 from concurrent.futures import Future
-from typing import Callable, List, Sequence
+from typing import Callable, List, Optional, Sequence
 
 
 def pad_to_bucket(n: int, max_batch_size: int) -> int:
@@ -41,22 +57,27 @@ def pad_items(items: Sequence, bucket: int) -> list:
 
 
 class DynamicBatcher:
-    """submit(item) -> Future; a single worker drains the queue into
-    batches and calls run_batch(items) -> results (one per item, same
-    order). Exceptions from run_batch propagate to every Future of that
-    batch. Thread-safe; close() stops the worker and fails every still-
-    queued Future with RuntimeError("batcher closed") so no caller blocks
-    out its full result timeout."""
+    """submit(item) -> Future; a worker drains the queue into batches and
+    calls run_batch(items) -> results (one per item, same order). With
+    finish_batch given, run_batch instead returns an opaque in-flight
+    handle and finish_batch(handle, items) -> results runs on a second
+    thread (pipelined mode, see module docstring). Exceptions from either
+    stage propagate to every Future of that batch. Thread-safe; close()
+    stops the workers and fails every still-queued Future with
+    RuntimeError("batcher closed") so no caller blocks out its full result
+    timeout."""
 
     def __init__(
         self,
-        run_batch: Callable[[List], List],
+        run_batch: Callable[[List], object],
         *,
+        finish_batch: Optional[Callable[[object, List], List]] = None,
         max_batch_size: int = 16,
         max_wait_ms: float = 10.0,
         name: str = "batcher",
     ):
         self._run = run_batch
+        self._finish = finish_batch
         self.max_batch_size = int(max_batch_size)
         self.max_wait_ms = float(max_wait_ms)
         self._q: queue.SimpleQueue = queue.SimpleQueue()
@@ -65,13 +86,25 @@ class DynamicBatcher:
         self.requests = 0
         self.batches = 0
         self.batched_requests = 0  # requests that shared a batch with others
+        self.bucket_counts: Counter = Counter()  # batch size -> #batches
         # bounded: long-lived servers must not accumulate one float per
         # request forever; percentiles only ever read the tail anyway
-        from collections import deque
-
         self.latencies_ms = deque(maxlen=2000)
+        self.queue_wait_ms = deque(maxlen=2000)  # submit -> dispatch start
+        self.dispatch_ms = deque(maxlen=500)  # per batch: upload + launch
+        self.finish_ms = deque(maxlen=500)  # per batch: result wait + postproc
+        # pipelined mode: one batch may sit here fully dispatched while the
+        # next is being collected/uploaded — depth 1 keeps device-queue
+        # latency bounded at ~2 batches
+        self._pending: Optional[queue.Queue] = (
+            queue.Queue(maxsize=1) if finish_batch is not None else None)
         self._thread = threading.Thread(target=self._loop, daemon=True, name=name)
         self._thread.start()
+        self._finisher = None
+        if finish_batch is not None:
+            self._finisher = threading.Thread(
+                target=self._finish_loop, daemon=True, name=f"{name}-finish")
+            self._finisher.start()
 
     def submit(self, item) -> Future:
         if self._stop.is_set():
@@ -80,16 +113,35 @@ class DynamicBatcher:
         self._q.put((item, fut, time.monotonic()))
         return fut
 
+    @staticmethod
+    def _pcts(values) -> dict:
+        vals = sorted(values)
+        if not vals:
+            return {"p50": None, "p95": None, "mean": None}
+        return {
+            "p50": vals[len(vals) // 2],
+            "p95": vals[int(len(vals) * 0.95)],
+            "mean": sum(vals) / len(vals),
+        }
+
     def stats(self) -> dict:
         with self._lock:
-            lat = sorted(list(self.latencies_ms)[-1000:])
+            lat = self._pcts(list(self.latencies_ms)[-1000:])
+            qw = self._pcts(list(self.queue_wait_ms)[-1000:])
+            disp = self._pcts(self.dispatch_ms)
+            fin = self._pcts(self.finish_ms)
             return {
                 "requests": self.requests,
                 "batches": self.batches,
                 "mean_batch_size": (self.requests / self.batches) if self.batches else 0.0,
                 "batched_requests": self.batched_requests,
-                "p50_ms": lat[len(lat) // 2] if lat else None,
-                "p95_ms": lat[int(len(lat) * 0.95)] if lat else None,
+                "buckets": dict(sorted(self.bucket_counts.items())),
+                "p50_ms": lat["p50"],
+                "p95_ms": lat["p95"],
+                "queue_wait_p50_ms": qw["p50"],
+                "queue_wait_p95_ms": qw["p95"],
+                "dispatch_mean_ms": disp["mean"],
+                "finish_mean_ms": fin["mean"],
             }
 
     def reset_stats(self) -> None:
@@ -97,7 +149,11 @@ class DynamicBatcher:
         waits don't pollute the latency percentiles)."""
         with self._lock:
             self.requests = self.batches = self.batched_requests = 0
+            self.bucket_counts.clear()
             self.latencies_ms.clear()
+            self.queue_wait_ms.clear()
+            self.dispatch_ms.clear()
+            self.finish_ms.clear()
 
     def _drain_failed(self) -> None:
         while True:
@@ -110,10 +166,50 @@ class DynamicBatcher:
 
     def close(self) -> None:
         self._stop.set()
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=30)
+        if self._finisher is not None:
+            self._finisher.join(timeout=30)
         # backstop for the submit()/close() race: anything enqueued after
         # the worker's own exit drain still gets failed here
         self._drain_failed()
+
+    # -- worker threads -----------------------------------------------------
+
+    def _collect(self, first) -> list:
+        """Coalesce requests: up to max_batch_size, waiting max_wait_ms past
+        the first arrival — except while the pipeline is full, where we keep
+        draining (device busy = free coalescing time)."""
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_ms / 1e3
+        while len(batch) < self.max_batch_size and not self._stop.is_set():
+            busy = self._pending is not None and self._pending.full()
+            left = deadline - time.monotonic()
+            if left <= 0 and not busy:
+                break
+            try:
+                batch.append(self._q.get(timeout=left if (left > 0 and not busy) else 0.002))
+            except queue.Empty:
+                if not busy:
+                    break
+        return batch
+
+    def _fail_batch(self, batch, exc) -> None:
+        for _, fut, _ in batch:
+            if not fut.done():
+                fut.set_exception(exc)
+
+    def _record(self, batch, t_dispatch0, dispatch_ms, finish_ms) -> None:
+        now = time.monotonic()
+        with self._lock:
+            self.requests += len(batch)
+            self.batches += 1
+            self.bucket_counts[len(batch)] += 1
+            if len(batch) > 1:
+                self.batched_requests += len(batch)
+            self.latencies_ms.extend((now - t0) * 1e3 for _, _, t0 in batch)
+            self.queue_wait_ms.extend((t_dispatch0 - t0) * 1e3 for _, _, t0 in batch)
+            self.dispatch_ms.append(dispatch_ms)
+            self.finish_ms.append(finish_ms)
 
     def _loop(self) -> None:
         while not self._stop.is_set():
@@ -121,33 +217,55 @@ class DynamicBatcher:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            batch = [first]
-            deadline = time.monotonic() + self.max_wait_ms / 1e3
-            while len(batch) < self.max_batch_size:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
-                try:
-                    batch.append(self._q.get(timeout=left))
-                except queue.Empty:
-                    break
+            batch = self._collect(first)
             items = [b[0] for b in batch]
+            t0 = time.monotonic()
             try:
-                outs = self._run(items)
+                out = self._run(items)
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                self._fail_batch(batch, e)
+                # failed batches still count (an erroring endpoint must not
+                # look idle in /stats)
+                self._record(batch, t0, (time.monotonic() - t0) * 1e3, 0.0)
+                continue
+            dispatch_ms = (time.monotonic() - t0) * 1e3
+            if self._pending is None:
+                # single-stage: `out` IS the result list
+                t1 = time.monotonic()
+                try:
+                    if len(out) != len(items):
+                        raise RuntimeError(
+                            f"run_batch returned {len(out)} results for {len(items)} items")
+                    for (_, fut, _), o in zip(batch, out):
+                        fut.set_result(o)
+                except Exception as e:  # noqa: BLE001
+                    self._fail_batch(batch, e)
+                    self._record(batch, t0, dispatch_ms, (time.monotonic() - t1) * 1e3)
+                    continue
+                self._record(batch, t0, dispatch_ms, (time.monotonic() - t1) * 1e3)
+            else:
+                self._pending.put((out, batch, items, t0, dispatch_ms))
+        if self._pending is not None:
+            # wake the finisher with a sentinel once in-flight work drains
+            self._pending.put(None)
+        self._drain_failed()  # stop requested: fail anything still queued
+
+    def _finish_loop(self) -> None:
+        while True:
+            entry = self._pending.get()
+            if entry is None:
+                return
+            handle, batch, items, t0, dispatch_ms = entry
+            t1 = time.monotonic()
+            try:
+                outs = self._finish(handle, items)
                 if len(outs) != len(items):
                     raise RuntimeError(
-                        f"run_batch returned {len(outs)} results for {len(items)} items")
-                for (_, fut, _), out in zip(batch, outs):
-                    fut.set_result(out)
+                        f"finish_batch returned {len(outs)} results for {len(items)} items")
+                for (_, fut, _), o in zip(batch, outs):
+                    fut.set_result(o)
             except Exception as e:  # noqa: BLE001 — propagate to callers
-                for _, fut, _ in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
-            now = time.monotonic()
-            with self._lock:
-                self.requests += len(batch)
-                self.batches += 1
-                if len(batch) > 1:
-                    self.batched_requests += len(batch)
-                self.latencies_ms.extend((now - t0) * 1e3 for _, _, t0 in batch)
-        self._drain_failed()  # stop requested: fail anything still queued
+                self._fail_batch(batch, e)
+                self._record(batch, t0, dispatch_ms, (time.monotonic() - t1) * 1e3)
+                continue
+            self._record(batch, t0, dispatch_ms, (time.monotonic() - t1) * 1e3)

@@ -2,11 +2,16 @@
 
 `InferenceService` wraps a task's inference unit (captioning beam generate /
 VQA answer ranking — the same jitted programs the drivers use for eval)
-behind a `DynamicBatcher`: HTTP request threads decode + preprocess their
-own image (PIL/libjpeg drop the GIL, so decode parallelizes), then block on
-a Future while the single device thread runs coalesced, bucket-padded
-batches. `make_http_server` exposes it over stdlib HTTP (POST /caption,
-POST /vqa, GET /health, GET /stats) — scripts/serve.py is the CLI.
+behind a pipelined `DynamicBatcher`: HTTP request threads decode + resize
+their own image (PIL/libjpeg drop the GIL, so decode parallelizes) to
+**uint8** — normalization runs in-graph so host->device transfer is 4x
+smaller than f32, which matters enormously on a tunneled device — then
+block on a Future while the dispatch thread uploads + launches coalesced,
+bucket-padded batches and a finisher thread fetches results + detokenizes.
+While one batch executes on the chip the next is already being collected
+and uploaded. `make_http_server` exposes it over stdlib HTTP (POST
+/caption, POST /vqa, GET /health, GET /stats — with per-stage timings) —
+scripts/serve.py is the CLI.
 
 Checkpoint shapes accepted: dense snapshot, gated training snapshot
 (deterministic masks applied), physically pruned export, int8 export —
@@ -21,6 +26,7 @@ import io
 import json
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Sequence
 
@@ -49,14 +55,19 @@ class InferenceService:
         import jax.numpy as jnp
 
         from ..data.tokenizer import build_tokenizer
-        from ..data.transforms import ImageTransform
+        from ..data.transforms import ImageTransform, normalize_in_graph
 
         if task not in ("caption", "vqa"):
             raise ValueError(f"unsupported task {task!r}")
         self.task = task
         self.config = config
         self.tokenizer = build_tokenizer(config.get("text_encoder", ""))
-        self.transform = ImageTransform.test(int(config.get("image_res", 384)))
+        # margin=1.0 => exact eval geometry (BICUBIC resize to res), but
+        # uint8 output: PIL resize yields uint8 anyway, so device-side
+        # normalize is bit-identical to ImageTransform.test — at 1/4 the
+        # host->device bytes
+        self.transform = ImageTransform.uint8(int(config.get("image_res", 384)),
+                                              margin=1.0)
         self.max_batch_size = int(max_batch_size)
         impl = config.get("attn_impl", "fused")
         dtype = jnp.bfloat16 if config.get("compute_dtype", "bf16") == "bf16" else None
@@ -72,8 +83,9 @@ class InferenceService:
             self._prompt_ids = np.asarray(self.tokenizer([prompt])["input_ids"])[:, :-1]
             self.model.prompt_length = self._prompt_ids.shape[1]
             tok = self.tokenizer
-            self._gen = jax.jit(lambda p, img, pids: self.model.generate(
-                p, img, pids, max_length=int(config.get("max_length", 20)),
+            self._gen = jax.jit(lambda p, img_u8, pids: self.model.generate(
+                p, normalize_in_graph(img_u8), pids,
+                max_length=int(config.get("max_length", 20)),
                 min_length=int(config.get("min_length", 5)),
                 num_beams=int(config.get("num_beams", 3)),
                 eos_id=tok.sep_token_id, pad_id=tok.pad_token_id,
@@ -90,14 +102,18 @@ class InferenceService:
             ans_tok = self.tokenizer([a + "[SEP]" for a in answers],
                                      padding="longest", truncation=True, max_length=20)
             k = min(int(config.get("k_test", 128)), len(answers))
-            self._fwd = jax.jit(lambda p, img, qi, qa: self.model.forward_eval(
-                p, img, qi, qa, jnp.asarray(ans_tok["input_ids"]),
+            self._fwd = jax.jit(lambda p, img_u8, qi, qa: self.model.forward_eval(
+                p, normalize_in_graph(img_u8), qi, qa, jnp.asarray(ans_tok["input_ids"]),
                 jnp.asarray(ans_tok["attention_mask"]), k=k, zs=zs,
                 dtype=dtype, impl=impl))
 
         self.params = params
+        self._pre_lock = threading.Lock()
+        self._pre_ms_total = 0.0
+        self._pre_count = 0
         self._batcher = DynamicBatcher(
-            self._run_batch, max_batch_size=max_batch_size,
+            self._dispatch_batch, finish_batch=self._finish_batch,
+            max_batch_size=max_batch_size,
             max_wait_ms=max_wait_ms, name=f"{task}-batcher")
         if warmup:
             self._warmup()
@@ -124,9 +140,15 @@ class InferenceService:
 
     # -- request paths ----------------------------------------------------
     def preprocess(self, image_b64: str) -> np.ndarray:
-        """Decode+transform on the CALLER thread (parallel across HTTP
+        """Decode+resize to uint8 on the CALLER thread (parallel across HTTP
         threads; PIL/libjpeg release the GIL)."""
-        return _decode_b64_image(image_b64, self.transform)
+        t0 = time.monotonic()
+        out = _decode_b64_image(image_b64, self.transform)
+        dt = (time.monotonic() - t0) * 1e3
+        with self._pre_lock:
+            self._pre_ms_total += dt
+            self._pre_count += 1
+        return out
 
     def submit_caption(self, image: np.ndarray):
         return self._batcher.submit({"image": image})
@@ -135,16 +157,25 @@ class InferenceService:
         return self._batcher.submit({"image": image, "question": question})
 
     def stats(self) -> dict:
-        return {"task": self.task, **self._batcher.stats()}
+        with self._pre_lock:
+            pre = (self._pre_ms_total / self._pre_count) if self._pre_count else None
+        return {"task": self.task, "preprocess_mean_ms": pre,
+                **self._batcher.stats()}
 
     def reset_stats(self) -> None:
+        with self._pre_lock:
+            self._pre_ms_total = 0.0
+            self._pre_count = 0
         self._batcher.reset_stats()
 
     def close(self) -> None:
         self._batcher.close()
 
     # -- device side ------------------------------------------------------
-    def _run_batch(self, items: List[dict]) -> List:
+    def _dispatch_batch(self, items: List[dict]):
+        """Dispatch-thread half: stack uint8 inputs, upload, launch the
+        jitted program. JAX execution is async — the returned device arrays
+        are in-flight handles the finisher blocks on."""
         import jax.numpy as jnp
 
         n = len(items)
@@ -153,30 +184,50 @@ class InferenceService:
         imgs = jnp.asarray(np.stack([it["image"] for it in padded]))
         if self.task == "caption":
             pids = jnp.asarray(np.repeat(self._prompt_ids, bucket, axis=0))
-            toks = np.asarray(self._gen(self.params, imgs, pids))
-            out = []
-            for t in toks[:n]:
-                cap = self.tokenizer.decode(t, skip_special_tokens=True)
-                p = self._prompt.strip()
-                out.append(cap[len(p):].strip() if cap.startswith(p) else cap)
-            return out
+            return self._gen(self.params, imgs, pids)
         tok = self.tokenizer([it["question"] for it in padded],
                              padding="max_length", truncation=True,
                              max_length=int(self.config.get("max_tokens", 40)))
         topk_ids, _ = self._fwd(self.params, imgs,
                                 jnp.asarray(tok["input_ids"]),
                                 jnp.asarray(tok["attention_mask"]))
-        return [self.answers[int(a)] for a in np.asarray(topk_ids)[:n, 0]]
+        return topk_ids
+
+    def _finish_batch(self, handle, items: List[dict]) -> List:
+        """Finisher-thread half: block on the device result, detokenize."""
+        n = len(items)
+        if self.task == "caption":
+            toks = np.asarray(handle)
+            out = []
+            for t in toks[:n]:
+                cap = self.tokenizer.decode(t, skip_special_tokens=True)
+                p = self._prompt.strip()
+                out.append(cap[len(p):].strip() if cap.startswith(p) else cap)
+            return out
+        return [self.answers[int(a)] for a in np.asarray(handle)[:n, 0]]
 
     def _warmup(self) -> None:
         """Compile the bucket-1 program (and pay the lazy first-execution
         upload) before the first request — cold compiles take minutes
         through the remote-compile tunnel."""
+        self.warmup_buckets(1)
+
+    def warmup_buckets(self, up_to: int) -> None:
+        """Deterministically compile every power-of-two batch bucket <=
+        pad_to_bucket(up_to): a live endpoint must never pay a cold compile
+        on a request thread. (Firing concurrent HTTP warmup requests is
+        racy — coalescing is timing-dependent, so a bucket can stay cold
+        and ambush the p95 later.)"""
         res = int(self.config.get("image_res", 384))
-        dummy = {"image": np.zeros((res, res, 3), np.float32)}
+        dummy = {"image": np.zeros((res, res, 3), np.uint8)}
         if self.task == "vqa":
             dummy["question"] = "warmup ?"
-        self._run_batch([dummy])
+        top = pad_to_bucket(max(1, int(up_to)), self.max_batch_size)
+        b = 1
+        while b <= top:
+            items = [dummy] * b
+            self._finish_batch(self._dispatch_batch(items), items)
+            b *= 2
 
 
 # -- HTTP ------------------------------------------------------------------

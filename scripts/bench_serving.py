@@ -91,28 +91,14 @@ def main():
     payloads = [json.dumps({"image_b64": _b64_image(i, res)}).encode()
                 for i in range(args.clients)]
 
-    # warm every bucket the run will hit (compiles are not the bench):
-    # two sequential batch-1 calls, then bursts of concurrent calls sized to
-    # touch each power-of-two bucket up to min(clients, max_batch_size)
-    def _fire(n):
-        ts = []
-        for j in range(n):
-            t = threading.Thread(target=lambda jj=j: urllib.request.urlopen(
-                urllib.request.Request(
-                    base + "/caption", data=payloads[jj % len(payloads)],
-                    headers={"Content-Type": "application/json"}),
-                timeout=3000).read())
-            t.start()
-            ts.append(t)
-        for t in ts:
-            t.join()
-
+    # warm every bucket the run can hit (compiles are not the bench):
+    # deterministic per-bucket compiles on the service, then two HTTP
+    # round-trips to warm the request path itself
+    service.warmup_buckets(min(args.clients, args.max_batch_size))
     for _ in range(2):
-        _fire(1)
-    b = 2
-    while b <= min(args.clients, args.max_batch_size):
-        _fire(b)
-        b *= 2
+        urllib.request.urlopen(urllib.request.Request(
+            base + "/caption", data=payloads[0],
+            headers={"Content-Type": "application/json"}), timeout=3000).read()
 
     n_done, lock = [0], threading.Lock()
     errors = []
@@ -145,6 +131,9 @@ def main():
     service.close()
     if errors:
         print(f"### {len(errors)} client errors; first: {errors[0]}", file=sys.stderr)
+    def _r(x, nd=1):
+        return round(x, nd) if x is not None else None
+
     print(json.dumps({
         "metric": "serving_caption_requests_per_sec",
         "value": round(args.requests / dt, 2),
@@ -152,8 +141,13 @@ def main():
         "clients": args.clients,
         "requests": args.requests,
         "mean_batch_size": round(stats["mean_batch_size"], 2),
-        "p50_ms": round(stats["p50_ms"], 1) if stats["p50_ms"] else None,
-        "p95_ms": round(stats["p95_ms"], 1) if stats["p95_ms"] else None,
+        "p50_ms": _r(stats["p50_ms"]),
+        "p95_ms": _r(stats["p95_ms"]),
+        "queue_wait_p95_ms": _r(stats["queue_wait_p95_ms"]),
+        "dispatch_mean_ms": _r(stats["dispatch_mean_ms"]),
+        "finish_mean_ms": _r(stats["finish_mean_ms"]),
+        "preprocess_mean_ms": _r(stats["preprocess_mean_ms"]),
+        "buckets": stats["buckets"],
         "errors": len(errors),
     }))
 

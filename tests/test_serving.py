@@ -71,6 +71,65 @@ def test_batcher_close_fails_queued_futures():
         stuck.result(timeout=10)
 
 
+def test_batcher_pipelined_overlap_and_stage_stats():
+    """Pipelined mode: dispatch of batch N+1 overlaps finish of batch N;
+    per-stage timings and bucket histogram appear in stats()."""
+    events = []
+    lock = threading.Lock()
+
+    def dispatch(items):
+        with lock:
+            events.append(("d", list(items)))
+        return [x * 10 for x in items]  # "in-flight handle"
+
+    def finish(handle, items):
+        time.sleep(0.05)  # device busy: dispatch should run meanwhile
+        with lock:
+            events.append(("f", list(items)))
+        return handle
+
+    b = DynamicBatcher(dispatch, finish_batch=finish,
+                       max_batch_size=4, max_wait_ms=5)
+    try:
+        futs = [b.submit(i) for i in range(8)]
+        assert [f.result(timeout=10) for f in futs] == [i * 10 for i in range(8)]
+        s = b.stats()
+        assert s["requests"] == 8
+        assert sum(k * v for k, v in s["buckets"].items()) == 8
+        assert s["dispatch_mean_ms"] is not None and s["finish_mean_ms"] is not None
+        assert s["queue_wait_p95_ms"] is not None
+        # overlap: some dispatch must happen before the LAST finish —
+        # i.e. the event stream is not strictly d,f,d,f serialized
+        kinds = [k for k, _ in events]
+        n_batches = s["batches"]
+        assert kinds.count("d") == kinds.count("f") == n_batches
+        if n_batches >= 2:
+            # second dispatch precedes first finish (pipelining), unless
+            # everything coalesced into too few batches to observe
+            first_f = kinds.index("f")
+            assert "d" in kinds[first_f + 1:] or kinds[:first_f].count("d") >= 2
+    finally:
+        b.close()
+
+
+def test_batcher_pipelined_propagates_finish_exception():
+    def dispatch(items):
+        return items
+
+    def finish(handle, items):
+        raise ValueError("fetch boom")
+
+    b = DynamicBatcher(dispatch, finish_batch=finish,
+                       max_batch_size=2, max_wait_ms=2)
+    try:
+        fut = b.submit(1)
+        with pytest.raises(ValueError, match="fetch boom"):
+            fut.result(timeout=10)
+        assert b.stats()["requests"] == 1
+    finally:
+        b.close()
+
+
 def test_batcher_propagates_exceptions():
     def run(items):
         raise ValueError("boom")
