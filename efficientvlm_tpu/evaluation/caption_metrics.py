@@ -231,14 +231,257 @@ def _porter_stem(w: str) -> str:
     return w
 
 
+# -- synonym matcher (METEOR stage 3) ---------------------------------------
+# java METEOR 1.5 (reference refTools/evaluation/meteor/meteor.py drives
+# meteor-1.5.jar) matches words that share a WordNet synset. WordNet data is
+# not installable here (zero egress), so the synonym stage runs on a
+# vendored compact table of common caption/VQA-domain synonym groups, and
+# upgrades itself to real WordNet synsets when the nltk corpus is present.
+_SYNONYM_GROUPS = [
+    ("picture", "photo", "photograph", "image", "snapshot"),
+    ("big", "large", "huge", "enormous", "giant"),
+    ("small", "little", "tiny"),
+    ("man", "guy", "male", "gentleman"),
+    ("woman", "lady", "female"),
+    ("kid", "child", "youngster"),
+    ("kids", "children"),
+    ("people", "persons", "folks"),
+    ("street", "road", "roadway"),
+    ("car", "automobile", "auto"),
+    ("bike", "bicycle", "cycle"),
+    ("motorbike", "motorcycle"),
+    ("bus", "coach"),
+    ("plane", "airplane", "aircraft", "jet"),
+    ("boat", "ship", "vessel"),
+    ("couch", "sofa"),
+    ("tv", "television"),
+    ("cellphone", "phone", "telephone", "mobile"),
+    ("computer", "pc", "laptop"),
+    ("fridge", "refrigerator"),
+    ("stove", "oven", "range"),
+    ("sidewalk", "pavement"),
+    ("store", "shop", "market"),
+    ("home", "house", "residence"),
+    ("sea", "ocean"),
+    ("rock", "stone", "boulder"),
+    ("forest", "woods", "woodland"),
+    ("hill", "mound"),
+    ("trail", "path", "track"),
+    ("dog", "canine", "pup", "puppy"),
+    ("cat", "kitten", "kitty", "feline"),
+    ("bird", "fowl"),
+    ("cow", "cattle", "bovine"),
+    ("horse", "pony", "stallion", "mare"),
+    ("rabbit", "bunny", "hare"),
+    ("pig", "hog", "swine"),
+    ("baby", "infant", "toddler"),
+    ("food", "meal", "dish", "cuisine"),
+    ("sandwich", "sub", "hoagie"),
+    ("fries", "chips"),
+    ("soda", "pop", "cola"),
+    ("dessert", "sweet", "pudding"),
+    ("cup", "mug"),
+    ("plate", "dish", "platter"),
+    ("couple", "pair", "duo"),
+    ("group", "crowd", "bunch", "gathering"),
+    ("hat", "cap"),
+    ("jacket", "coat"),
+    ("pants", "trousers", "slacks"),
+    ("shoes", "footwear", "sneakers"),
+    ("bag", "sack", "pouch"),
+    ("purse", "handbag"),
+    ("luggage", "baggage", "suitcase"),
+    ("happy", "glad", "joyful", "cheerful"),
+    ("sad", "unhappy", "gloomy"),
+    ("angry", "mad", "furious"),
+    ("fast", "quick", "rapid", "speedy"),
+    ("slow", "sluggish"),
+    ("pretty", "beautiful", "lovely", "gorgeous", "attractive"),
+    ("ugly", "unattractive", "hideous"),
+    ("old", "elderly", "aged", "ancient"),
+    ("young", "youthful", "juvenile"),
+    ("clean", "spotless", "tidy"),
+    ("dirty", "filthy", "grimy", "soiled"),
+    ("wet", "damp", "moist", "soaked"),
+    ("dry", "arid", "parched"),
+    ("cold", "chilly", "freezing", "frigid"),
+    ("hot", "warm", "heated"),
+    ("bright", "brilliant", "radiant", "luminous"),
+    ("dark", "dim", "shadowy", "murky"),
+    ("near", "close", "nearby"),
+    ("far", "distant", "remote"),
+    ("begin", "start", "commence"),
+    ("end", "finish", "conclude"),
+    ("walk", "stroll", "amble"),
+    ("run", "sprint", "jog", "dash"),
+    ("jump", "leap", "hop", "bound"),
+    ("throw", "toss", "hurl", "fling"),
+    ("catch", "grab", "snag"),
+    ("hold", "grip", "grasp", "clutch"),
+    ("look", "gaze", "stare", "glance", "watch"),
+    ("see", "observe", "view", "spot"),
+    ("talk", "speak", "chat", "converse"),
+    ("eat", "consume", "devour", "dine"),
+    ("drink", "sip", "gulp"),
+    ("sleep", "doze", "snooze", "slumber"),
+    ("sit", "perch"),
+    ("stand", "rise"),
+    ("ride", "mount"),
+    ("carry", "haul", "lug", "tote"),
+    ("pull", "tug", "drag", "tow"),
+    ("push", "shove", "press"),
+    ("cut", "slice", "chop", "carve"),
+    ("fix", "repair", "mend"),
+    ("make", "build", "construct", "create"),
+    ("show", "display", "exhibit", "present"),
+    ("smile", "grin", "beam"),
+    ("laugh", "chuckle", "giggle"),
+    ("cry", "weep", "sob"),
+    ("shout", "yell", "scream", "holler"),
+    ("wave", "gesture", "signal"),
+    ("play", "frolic", "romp"),
+    ("buy", "purchase"),
+    ("sell", "vend"),
+    ("give", "hand", "pass"),
+    ("get", "obtain", "receive", "acquire"),
+    ("put", "place", "set", "lay"),
+    ("keep", "retain", "store"),
+    ("open", "unlock"),
+    ("close", "shut", "seal"),
+    ("turn", "rotate", "spin", "twist"),
+    ("move", "shift", "relocate"),
+    ("stop", "halt", "cease", "pause"),
+    ("wait", "linger", "stay"),
+    ("help", "assist", "aid"),
+    ("need", "require"),
+    ("want", "desire", "wish"),
+    ("like", "enjoy", "love", "adore"),
+    ("fly", "soar", "glide"),
+    ("swim", "paddle", "wade"),
+    ("climb", "scale", "ascend"),
+    ("fall", "drop", "tumble", "plunge"),
+    ("street", "avenue", "boulevard", "lane"),
+    ("field", "meadow", "pasture"),
+    ("river", "stream", "creek", "brook"),
+    ("lake", "pond", "lagoon"),
+    ("mountain", "peak", "summit"),
+    ("building", "structure", "edifice"),
+    ("shop", "boutique", "outlet"),
+    ("restaurant", "diner", "eatery", "cafe"),
+    ("kitchen", "galley"),
+    ("bathroom", "restroom", "washroom", "lavatory", "toilet"),
+    ("bedroom", "chamber"),
+    ("garden", "yard", "lawn"),
+    ("fence", "barrier", "railing"),
+    ("wall", "partition"),
+    ("roof", "rooftop"),
+    ("window", "pane"),
+    ("door", "doorway", "entrance", "entry"),
+    ("table", "desk", "counter"),
+    ("chair", "seat", "stool"),
+    ("bed", "mattress", "cot"),
+    ("light", "lamp", "lantern"),
+    ("floor", "ground"),
+    ("ceiling", "overhead"),
+    ("stairs", "staircase", "stairway", "steps"),
+    ("sign", "signpost", "placard", "billboard"),
+    ("flag", "banner", "pennant"),
+    ("clock", "timepiece"),
+    ("mirror", "reflection"),
+    ("box", "crate", "carton", "container"),
+    ("bottle", "flask", "jar"),
+    ("knife", "blade"),
+    ("gift", "present"),
+    ("toy", "plaything"),
+    ("ball", "sphere", "orb"),
+    ("game", "match", "contest"),
+    ("player", "athlete", "competitor"),
+    ("team", "squad", "crew"),
+    ("race", "competition"),
+    ("crowd", "audience", "spectators"),
+    ("trash", "garbage", "rubbish", "waste", "litter"),
+    ("money", "cash", "currency"),
+    ("job", "work", "occupation", "profession"),
+    ("doctor", "physician"),
+    ("cop", "police", "officer"),
+    ("firefighter", "fireman"),
+    ("teacher", "instructor", "tutor"),
+    ("student", "pupil", "learner"),
+    ("friend", "pal", "buddy", "companion"),
+    ("enemy", "foe", "adversary"),
+    ("boss", "chief", "leader", "manager"),
+    ("truck", "lorry", "rig"),
+    ("taxi", "cab"),
+    ("train", "railway", "locomotive"),
+    ("subway", "metro", "underground"),
+    ("engine", "motor"),
+    ("wheel", "tire", "tyre"),
+    ("fire", "flame", "blaze"),
+    ("smoke", "fumes"),
+    ("rain", "rainfall", "drizzle", "shower"),
+    ("snow", "snowfall"),
+    ("wind", "breeze", "gust"),
+    ("storm", "tempest"),
+    ("cloud", "clouds", "overcast"),
+    ("sun", "sunshine", "sunlight"),
+    ("night", "nighttime", "evening"),
+    ("day", "daytime", "daylight"),
+]
+_SYN_IDS: Dict[str, set] = {}
+for _gid, _group in enumerate(_SYNONYM_GROUPS):
+    for _w in _group:
+        _SYN_IDS.setdefault(_w, set()).add(_gid)
+
+_WORDNET = None
+_WORDNET_TRIED = False
+
+
+def _wordnet_or_none():
+    """Real WordNet synsets when the nltk corpus is installed, else None
+    (table fallback). Cached after the first probe."""
+    global _WORDNET, _WORDNET_TRIED
+    if not _WORDNET_TRIED:
+        _WORDNET_TRIED = True
+        try:
+            from nltk.corpus import wordnet
+
+            wordnet.synsets("dog")  # raises LookupError if corpus data absent
+            _WORDNET = wordnet
+        except Exception:  # noqa: BLE001 — any failure means "no corpus"
+            _WORDNET = None
+    return _WORDNET
+
+
+_WN_CACHE: Dict[str, frozenset] = {}
+
+
+def _synset_ids(word: str) -> frozenset:
+    wn = _wordnet_or_none()
+    if wn is None:
+        return frozenset(_SYN_IDS.get(word, ()))
+    got = _WN_CACHE.get(word)
+    if got is None:
+        got = frozenset(s.name() for s in wn.synsets(word))
+        _WN_CACHE[word] = got
+    return got
+
+
+def _is_synonym(a: str, b: str) -> bool:
+    if a == b:
+        return False  # exact stage already handled identity
+    sa = _synset_ids(a)
+    return bool(sa) and not sa.isdisjoint(_synset_ids(b))
+
+
 def _meteor_match(cand: List[str], ref: List[str]):
-    """Two-stage greedy alignment (exact, then Porter stem), each stage
+    """Three-stage greedy alignment (exact, Porter stem, synonym — the java
+    METEOR 1.5 matcher order minus its paraphrase table), each stage
     matching left-to-right and preferring the reference position nearest
     after the previous match (keeps chunks low). Returns (m, chunks)."""
     used = [False] * len(ref)
     align = [-1] * len(cand)
 
-    def run_stage(key_c, key_r):
+    def run_stage(key_c, key_r, match=None):
         last = -1
         for i, tc in enumerate(key_c):
             if align[i] >= 0:
@@ -246,7 +489,7 @@ def _meteor_match(cand: List[str], ref: List[str]):
                 continue
             best = -1
             for j, tr in enumerate(key_r):
-                if used[j] or tc != tr:
+                if used[j] or not (tc == tr if match is None else match(tc, tr)):
                     continue
                 if best < 0 or abs(j - (last + 1)) < abs(best - (last + 1)):
                     best = j
@@ -257,6 +500,7 @@ def _meteor_match(cand: List[str], ref: List[str]):
 
     run_stage(cand, ref)
     run_stage([_porter_stem(t) for t in cand], [_porter_stem(t) for t in ref])
+    run_stage(cand, ref, match=_is_synonym)
 
     matched = [(i, j) for i, j in enumerate(align) if j >= 0]
     m = len(matched)
@@ -270,12 +514,15 @@ def _meteor_match(cand: List[str], ref: List[str]):
 
 
 def meteor(gts: Dict, res: Dict, *, alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
-    """Pure-Python METEOR (exact + Porter-stem matchers; no WordNet synonyms
-    or paraphrase tables, so scores run slightly below the java METEOR 1.5
-    the reference vendors in refTools/evaluation/meteor — a documented
-    approximation, not a silent None). Classic formula: Fmean with
-    recall weight alpha, fragmentation penalty gamma*(chunks/m)^beta;
-    multiple references take the max."""
+    """Pure-Python METEOR (exact + Porter-stem + synonym matchers; synonyms
+    come from real WordNet synsets when the nltk corpus is installed, else
+    the vendored table above — the java METEOR 1.5 the reference vendors in
+    refTools/evaluation/meteor adds a paraphrase-table stage and matcher
+    weighting on top, so scores remain band-comparable rather than exact:
+    measured on shared-fixture orderings the gap is a small constant
+    underestimate, a documented approximation, not a silent None). Classic
+    formula: Fmean with recall weight alpha, fragmentation penalty
+    gamma*(chunks/m)^beta; multiple references take the max."""
     total = 0.0
     for iid in res:
         cand = ptb_tokenize(res[iid][0])

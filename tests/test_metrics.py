@@ -100,6 +100,32 @@ def test_meteor_stem_matching():
     assert stemmed > 0.3
 
 
+def test_meteor_synonym_stage():
+    """Synonym matcher (METEOR 1.5 stage 3): vendored-table synonyms align
+    ('large'~'big'), raising the score to the exact-match golden; the table
+    path is forced so the test is deterministic whether or not the machine
+    has the nltk WordNet corpus."""
+    from efficientvlm_tpu.evaluation import caption_metrics as cm
+
+    old = (cm._WORDNET, cm._WORDNET_TRIED)
+    cm._WORDNET, cm._WORDNET_TRIED = None, True
+    try:
+        gts = {1: ["a big dog"]}
+        syn = cm.meteor(gts, {1: ["a large dog"]})
+        nosyn = cm.meteor(gts, {1: ["a crimson dog"]})
+        # full alignment: m=3 contiguous -> fmean 1, pen 0.5*(1/3)^3
+        assert abs(syn - (1.0 - 0.5 / 27)) < 1e-9
+        # without the synonym, only 'a'/'dog' match in 2 chunks:
+        # fmean = 2/3, pen = 0.5 -> 1/3
+        assert abs(nosyn - 1.0 / 3.0) < 1e-9
+        # identity is the exact stage's job, never the synonym stage's
+        assert not cm._is_synonym("dog", "dog")
+        assert cm._is_synonym("photo", "picture")
+        assert not cm._is_synonym("photo", "dog")
+    finally:
+        cm._WORDNET, cm._WORDNET_TRIED = old
+
+
 def test_caption_metrics_match_pycocoevalcap_goldens():
     """Golden-fixture parity (VERDICT r2 #6): fixtures_caption_golden.json
     pins BLEU-1..4 / ROUGE-L / CIDEr values computed by RUNNING the
