@@ -45,13 +45,18 @@ def make_bert_decode_fn(
     impl: str = "xla",
 ) -> Callable:
     """decode_fn over a BertLMHeadModel-equivalent (is_decoder, multi_modal,
-    cross-attending into encoder_hidden)."""
+    cross-attending into encoder_hidden). Cross K/V over the (step-constant)
+    encoder states are projected ONCE here; the fori_loop body closes over
+    them as loop invariants, so each decode step only pays the q projection
+    and the [1, S] attention — the reference reuses cross K/V the same way
+    via HF past_key_value (eff_bert.py:283-295)."""
+    cross_kv = B.precompute_cross_kv(params, cfg, encoder_hidden, dtype=dtype)
 
     def decode_fn(tokens: Array, cache: list, offset) -> Tuple[Array, list]:
         out = B.bert_apply(
             params, tokens, cfg,
             encoder_hidden=encoder_hidden, encoder_attention_mask=encoder_atts,
-            mode="multi_modal", is_decoder=True, cache=cache,
+            mode="multi_modal", is_decoder=True, cache=cache, cross_kv=cross_kv,
             position_offset=offset,
             text_head_z=text_head_z, cross_head_z=cross_head_z,
             text_mlp_z=text_mlp_z, cross_mlp_z=cross_mlp_z,

@@ -148,13 +148,17 @@ def bert_layer_apply(
     cross_head_z: Optional[Array] = None,
     mlp_z: Optional[Array] = None,
     cache: Optional[dict] = None,
+    cross_kv: Optional[dict] = None,
     output_probs: bool = False,
     train: bool = False,
     rng: Optional[Array] = None,
     dtype=None,
     impl: str = "xla",
 ):
-    """Post-LN BERT layer; returns (h, self_probs, cross_probs, new_cache)."""
+    """Post-LN BERT layer; returns (h, self_probs, cross_probs, new_cache).
+    `cross_kv` supplies pre-projected cross K/V (see precompute_cross_kv) —
+    the decode hot loop must not repay the image-embed projections every
+    step (reference reuses them via past_key_value, eff_bert.py:283-295)."""
     eps = cfg.get("layer_norm_eps", 1e-12)
     head_dim = cfg["hidden_size"] // cfg["num_attention_heads"]
     act = ACT2FN[cfg.get("hidden_act", "gelu")]
@@ -205,9 +209,10 @@ def bert_layer_apply(
         h = layer_norm(lp["attention_ln"], h + attn_out, eps=eps)
 
     cross_probs = None
-    if lp.get("crossattention") is not None and encoder_hidden is not None:
+    if lp.get("crossattention") is not None and (
+            encoder_hidden is not None or cross_kv is not None):
         use_fused_x = (
-            impl == "fused" and cache is None
+            impl == "fused" and cache is None and cross_kv is None
             and (not train or (adrop == 0.0 and hdrop == 0.0))
             and (encoder_bias is None
                  or (encoder_bias.ndim == 4 and encoder_bias.shape[2] == 1))
@@ -230,7 +235,7 @@ def bert_layer_apply(
             x_out, cross_probs, _ = multi_head_attention(
                 lp["crossattention"],
                 h,
-                encoder_hidden,
+                encoder_hidden if cross_kv is None else h,  # kv source unused with cross_kv
                 num_heads=_num_heads(lp["crossattention"], head_dim),
                 bias=encoder_bias,
                 head_z=cross_head_z,
@@ -239,6 +244,7 @@ def bert_layer_apply(
                 rng=rngs[2],
                 train=train,
                 dtype=dtype,
+                precomputed_kv=cross_kv,
                 impl="xla" if impl == "fused" else impl,
             )
             x_out = dropout(x_out, hdrop, rng=rngs[3], train=train)
@@ -278,6 +284,7 @@ def bert_encoder_apply(
     text_mlp_z=None,
     cross_mlp_z=None,
     cache: Optional[list] = None,
+    cross_kv: Optional[list] = None,
     output_attentions: bool = False,
     output_hidden_states: bool = False,
     train: bool = False,
@@ -286,7 +293,8 @@ def bert_encoder_apply(
     impl: str = "xla",
 ):
     """Run layers per mode (reference xbert.py:558-567). Returns dict with
-    last_hidden, hidden_states, attentions, cross_attentions, cache."""
+    last_hidden, hidden_states, attentions, cross_attentions, cache.
+    `cross_kv`: per-cross-layer pre-projected K/V (precompute_cross_kv)."""
     fusion = cfg["fusion_layer"]
     n = cfg["num_hidden_layers"]
     if mode == "text":
@@ -310,6 +318,7 @@ def bert_encoder_apply(
     use_scan = (
         cfg.get("scan_layers", False)
         and cache is None
+        and cross_kv is None
         and _scannable(text_head_z, n_text, 2) and _scannable(text_mlp_z, n_text, 2)
         and _scannable(cross_head_z, n_cross, 3) and _scannable(cross_mlp_z, n_cross, 2)
         # each scan group must be shape-uniform (post-export models are not)
@@ -419,6 +428,8 @@ def bert_encoder_apply(
             cross_head_z=cross_z,
             mlp_z=mlp_zi,
             cache=cache[i - lo] if cache is not None else None,
+            cross_kv=(cross_kv[i - fusion] if (is_cross and cross_kv is not None)
+                      else None),
             output_probs=output_attentions,
             train=train,
             rng=lrng,
@@ -455,6 +466,7 @@ def bert_apply(
     mode: str = "multi_modal",
     is_decoder: bool = False,
     cache: Optional[list] = None,
+    cross_kv: Optional[list] = None,
     position_offset: Array | int = 0,
     text_head_z=None,
     cross_head_z=None,
@@ -518,6 +530,7 @@ def bert_apply(
         text_mlp_z=text_mlp_z,
         cross_mlp_z=cross_mlp_z,
         cache=cache,
+        cross_kv=cross_kv,
         output_attentions=output_attentions,
         output_hidden_states=output_hidden_states,
         train=train,
@@ -525,6 +538,31 @@ def bert_apply(
         dtype=dtype,
         impl=impl,
     )
+
+
+def precompute_cross_kv(
+    params: dict, cfg: TextConfig, encoder_hidden: Array, *, dtype=None
+) -> list:
+    """Project the cross-attention K/V for every cross layer ONCE (list
+    indexed by cross-layer ci = i - fusion; None for fully-pruned modules).
+    The image embeds are constant across decode steps, so the decode loop
+    closes over these as loop invariants instead of repaying two
+    [S,W]x[W,W] dots per cross layer per token — the reference gets the
+    same reuse from HF past_key_value caching (eff_bert.py:283-295)."""
+    from ..ops.attention import project_kv
+
+    fusion = cfg["fusion_layer"]
+    head_dim = cfg["hidden_size"] // cfg["num_attention_heads"]
+    out = []
+    for i in range(fusion, cfg["num_hidden_layers"]):
+        lp = params["layers"][i]
+        if lp.get("crossattention") is None:
+            out.append(None)
+            continue
+        nh = _num_heads(lp["crossattention"], head_dim)
+        out.append(project_kv(lp["crossattention"], encoder_hidden,
+                              num_heads=nh, dtype=dtype))
+    return out
 
 
 def init_bert_cache(

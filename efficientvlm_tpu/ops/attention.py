@@ -90,6 +90,7 @@ def multi_head_attention(
     train: bool = False,
     dtype=None,
     cache: Optional[dict] = None,
+    precomputed_kv: Optional[dict] = None,
     impl: str = "xla",
 ):
     """Returns (attn_output [B,Tq,D], probs [B,H,Tq,Tk] or None, new_cache).
@@ -98,14 +99,24 @@ def multi_head_attention(
     ring-free decode cache; new keys/values are written at `index` and
     attention spans the first index+Tq positions (bias must mask the rest —
     use `decode_bias`).
+
+    precomputed_kv: {"k": [B,H,S,dh], "v": ...} — already-projected keys/
+    values for cross-attention whose source (image embeds) is constant
+    across decode steps; skips the k/v projections entirely (the reference
+    caches cross K/V the same way via HF past_key_value, eff_bert.py:283-295
+    — without this, every decode step repays two [S,W]x[W,W] dots per cross
+    layer). Mutually exclusive with `cache`.
     """
     self_attn = x_kv is None
     if self_attn:
         x_kv = x_q
 
     q = _split_heads(dense(params["q"], x_q, dtype=dtype), num_heads)
-    k = _split_heads(dense(params["k"], x_kv, dtype=dtype), num_heads)
-    v = _split_heads(dense(params["v"], x_kv, dtype=dtype), num_heads)
+    if precomputed_kv is not None:
+        k, v = precomputed_kv["k"], precomputed_kv["v"]
+    else:
+        k = _split_heads(dense(params["k"], x_kv, dtype=dtype), num_heads)
+        v = _split_heads(dense(params["v"], x_kv, dtype=dtype), num_heads)
 
     new_cache = cache
     if cache is not None:
@@ -143,6 +154,15 @@ def multi_head_attention(
         out = out * jnp.asarray(head_layer_z, dtype=out.dtype)
 
     return out, (probs if output_probs else None), new_cache
+
+
+def project_kv(params, x_kv: Array, *, num_heads: int, dtype=None) -> dict:
+    """Project keys/values once for `multi_head_attention(precomputed_kv=)`
+    — identical math to the in-call projections."""
+    return {
+        "k": _split_heads(dense(params["k"], x_kv, dtype=dtype), num_heads),
+        "v": _split_heads(dense(params["v"], x_kv, dtype=dtype), num_heads),
+    }
 
 
 def init_decode_cache(batch: int, num_heads: int, max_len: int, head_dim: int, dtype=jnp.float32) -> dict:

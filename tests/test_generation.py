@@ -65,6 +65,23 @@ def test_greedy_matches_uncached(decoder_setup):
     assert np.all(np.isfinite(np.asarray(logprobs)))
 
 
+def test_precomputed_cross_kv_matches_recompute(decoder_setup):
+    """bert_apply(cross_kv=precompute_cross_kv(...)) must equal the plain
+    per-call K/V projection path bit-for-bit (same dots, same order)."""
+    cfg, params, enc, enc_atts = decoder_setup
+    ids = jnp.asarray(np.array([[1, 7, 3], [1, 9, 4]]))
+    plain = B.bert_apply(params, ids, cfg, encoder_hidden=enc,
+                         encoder_attention_mask=enc_atts,
+                         mode="multi_modal", is_decoder=True)
+    kv = B.precompute_cross_kv(params, cfg, enc)
+    assert len(kv) == cfg["num_hidden_layers"] - cfg["fusion_layer"]
+    pre = B.bert_apply(params, ids, cfg, encoder_hidden=enc,
+                       encoder_attention_mask=enc_atts,
+                       mode="multi_modal", is_decoder=True, cross_kv=kv)
+    np.testing.assert_array_equal(np.asarray(plain["last_hidden"]),
+                                  np.asarray(pre["last_hidden"]))
+
+
 def test_beam_one_equals_greedy(decoder_setup):
     cfg, params, enc, enc_atts = decoder_setup
     prompt = np.array([[1, 7], [1, 9]])
