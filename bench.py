@@ -166,11 +166,13 @@ def phase_pruned(sparsity=0.25):
                       "sparsity": sparsity, "realized_sparsity": realized}))
 
 
-def phase_pruned_int8(sparsity=0.25, mode="w8a8"):
-    """The 0.25-pruned student served int8 (ops/quant.py): s8xs8->s32 dots
-    run at 2x the bf16 MXU rate on v5e and weights stream 1 byte/param.
-    Uses impl='xla' — the quantized dense format dispatches inside
-    ops.basic.dense; the Pallas fused layer kernel stays bf16-only."""
+def phase_pruned_int8(sparsity=0.25, mode="w8"):
+    """The 0.25-pruned student served int8 (ops/quant.py) in the DEFAULT
+    w8 weight-only mode: weights stream 1 byte/param, compute stays bf16.
+    w8a8 was demoted after measurement (probe: s8 dot only 1.27x bf16 at
+    these widths, and int8 params force attention off the fused kernel) —
+    see ops/quant.py module docstring. Uses impl='xla' — the quantized
+    dense format dispatches inside ops.basic.dense."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scripts.bench_prune_probe import aligned_zs
 
@@ -182,7 +184,9 @@ def phase_pruned_int8(sparsity=0.25, mode="w8a8"):
     zs.pop("__realized_sparsity__")
     params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
     params = quantize_params(_cast_bf16(params), mode=mode)  # scales stay f32
-    print(json.dumps({**bench_model(model, params, impl="xla", peak="int8"),
+    # w8 computes in bf16 (dequant fused into the dot) -> bf16 MFU peak
+    print(json.dumps({**bench_model(model, params, impl="xla",
+                                    peak="int8" if mode == "w8a8" else "bf16"),
                       "mode": mode, "sparsity": sparsity}))
 
 

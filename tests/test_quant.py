@@ -53,7 +53,14 @@ def test_dense_quantized_close(mode):
     # and under jit with the quantized tree as an ARGUMENT (the mode must
     # ride in the tree structure, not in a traced leaf)
     jgot = jax.jit(lambda qq, xx: dense(qq, xx))(q, x)
-    np.testing.assert_allclose(np.asarray(jgot), np.asarray(got), rtol=1e-5, atol=1e-5)
+    if mode == "w8":
+        np.testing.assert_allclose(np.asarray(jgot), np.asarray(got), rtol=1e-5, atol=1e-5)
+    else:
+        # w8a8's activation-quant pipeline runs in bf16 (measured +11% over
+        # f32, ops/quant.py); fused-vs-eager bf16 skips intermediate
+        # roundings, so boundary activations can quantize +-1 LSB apart —
+        # inside the int8 noise floor, checked directionally instead
+        assert _cos(jgot, got) > 0.999 and _cos(ref, jgot) > 0.999
 
 
 def test_quantize_params_min_dim_guard():
@@ -64,7 +71,9 @@ def test_quantize_params_min_dim_guard():
         "emb": {"embedding": jnp.zeros((100, 256))},
     }
     q = quantize_params(tree, min_dim=256)
-    assert "kernel_q8a8" in q["big"] and "kernel" not in q["big"]
+    # default mode is now w8 (weight-only — see ops/quant.py for the
+    # measured demotion of w8a8)
+    assert "kernel_q8" in q["big"] and "kernel" not in q["big"]
     assert "kernel" in q["small_head"]  # tiny head stays float
     assert q["ln"]["scale"].dtype == jnp.float32
     b = quantized_bytes(q)
@@ -91,17 +100,23 @@ def test_vit_forward_quantized(vit256, mode):
     assert _cos(ref, got) > 0.99, _cos(ref, got)
 
 
-def test_vit_quantized_scan_matches_unrolled(vit256):
+@pytest.mark.parametrize("mode", ["w8", "w8a8"])
+def test_vit_quantized_scan_matches_unrolled(vit256, mode):
     cfg, params = vit256
-    qparams = quantize_params(params, mode="w8a8")
+    qparams = quantize_params(params, mode=mode)
     imgs = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 3))
     unrolled = V.vit_apply(qparams, imgs, cfg)["last_hidden"]
     scfg = type(cfg)(dict(cfg))
     scfg["scan_layers"] = True
     scanned = V.vit_apply(qparams, imgs, scfg)["last_hidden"]
-    np.testing.assert_allclose(
-        np.asarray(scanned), np.asarray(unrolled), rtol=2e-5, atol=2e-5
-    )
+    if mode == "w8":
+        np.testing.assert_allclose(
+            np.asarray(scanned), np.asarray(unrolled), rtol=2e-5, atol=2e-5
+        )
+    else:
+        # w8a8's bf16 activation-quant rounds +-1 LSB apart across fusion
+        # contexts (scan body vs unrolled) — directional check only
+        assert _cos(scanned, unrolled) > 0.99
 
 
 def test_quantized_checkpoint_roundtrip(tmp_path, vit256):
