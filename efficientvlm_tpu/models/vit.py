@@ -184,19 +184,38 @@ def vit_apply(
     local_attn_depth = cfg.get("local_attn_depth", 0)
     head_dim = cfg["vision_width"] // cfg["num_attention_heads"]
 
-    patches = jax.lax.conv_general_dilated(
-        images.astype(dtype) if dtype is not None else images,
-        params["patch_embed"]["kernel"].astype(dtype) if dtype is not None else params["patch_embed"]["kernel"],
-        window_strides=(cfg["patch_size"], cfg["patch_size"]),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    # fused patch embed (SURVEY §2.8): conv-as-matmul + pos add + pre-LN in
+    # one Pallas kernel — saves two [B, Np, D] HBM round-trips vs the XLA
+    # conv -> concat -> add -> LN chain. Lane-width models only; int8
+    # exports keep the XLA conv (their patch kernel stays float anyway, but
+    # the guard keys on the param format for uniformity with bert/use_fused)
+    use_fused_embed = (
+        impl == "fused"
+        and cfg["vision_width"] % 128 == 0
+        and "kernel" in params["patch_embed"]
     )
-    b = patches.shape[0]
-    patches = patches.reshape(b, -1, cfg["vision_width"])
-    cls = jnp.broadcast_to(params["class_embedding"].astype(patches.dtype), (b, 1, cfg["vision_width"]))
-    h = jnp.concatenate([cls, patches], axis=1)
-    h = h + params["pos_embed"]["embedding"][None, : h.shape[1]].astype(h.dtype)
-    h = layer_norm(params["pre_ln"], h, eps=1e-5)
+    if use_fused_embed:
+        from ..ops.pallas_patch_embed import fused_patch_embed
+
+        h = fused_patch_embed(
+            params, images, patch_size=cfg["patch_size"],
+            vision_width=cfg["vision_width"],
+            dtype=dtype if dtype is not None else images.dtype)
+        b = h.shape[0]
+    else:
+        patches = jax.lax.conv_general_dilated(
+            images.astype(dtype) if dtype is not None else images,
+            params["patch_embed"]["kernel"].astype(dtype) if dtype is not None else params["patch_embed"]["kernel"],
+            window_strides=(cfg["patch_size"], cfg["patch_size"]),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b = patches.shape[0]
+        patches = patches.reshape(b, -1, cfg["vision_width"])
+        cls = jnp.broadcast_to(params["class_embedding"].astype(patches.dtype), (b, 1, cfg["vision_width"]))
+        h = jnp.concatenate([cls, patches], axis=1)
+        h = h + params["pos_embed"]["embedding"][None, : h.shape[1]].astype(h.dtype)
+        h = layer_norm(params["pre_ln"], h, eps=1e-5)
     if cfg.get("act_partition"):
         # context-parallel hook (SURVEY §5.7): pin [B, S, D] activations to
         # the cfg axes (e.g. ["data","seq"]); GSPMD propagates through the
