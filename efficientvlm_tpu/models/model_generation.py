@@ -306,21 +306,29 @@ class XVLMForVQA:
         k: int, *, zs=None, dtype=None, impl="xla",
     ):
         """k-way answer re-ranking (reference model_generation.py:385-444):
-        two batched decoder calls + chain-rule log-prob sum."""
+        two batched decoder calls + chain-rule log-prob sum. The decoder's
+        cross K/V over the question states are projected ONCE ([Q, Tq]
+        rows) and repeat-expanded for the k-tiled scoring call — projecting
+        on the tiled states would redo the same dots k(=k_test) times."""
         num_ques = question_states.shape[0]
         num_ans = answer_ids.shape[0]
         dz = _decoder_zs(zs)
 
-        def dec(ids, atts, enc, enc_atts):
+        def dec(ids, atts, enc, enc_atts, cross_kv=None):
             out = B.bert_apply(
                 params["text_decoder"], ids, self.decoder_cfg, attention_mask=atts,
                 encoder_hidden=enc, encoder_attention_mask=enc_atts,
-                mode="multi_modal", is_decoder=True, dtype=dtype, impl=impl, **dz,
+                mode="multi_modal", is_decoder=True, cross_kv=cross_kv,
+                dtype=dtype, impl=impl, **dz,
             )
             return B.mlm_head_apply(params["text_decoder"]["cls"], out["last_hidden"], self.decoder_cfg, dtype=dtype)
 
+        kv = B.precompute_cross_kv(
+            params["text_decoder"], self.decoder_cfg, question_states, dtype=dtype)
+
         start_ids = jnp.full((num_ques, 1), answer_ids[0, 0], jnp.int32)
-        logits = dec(start_ids, None, question_states, question_atts)[:, 0]
+        logits = dec(start_ids, None, question_states, question_atts,
+                     cross_kv=kv)[:, 0]
         answer_first = answer_ids[:, 1]
         prob_first = jax.nn.softmax(logits.astype(jnp.float32), axis=1)[:, answer_first]
         topk_probs, topk_ids = jax.lax.top_k(prob_first, k)  # [Q, k]
@@ -331,7 +339,10 @@ class XVLMForVQA:
 
         q_states = jnp.repeat(question_states, k, axis=0)
         q_atts = jnp.repeat(question_atts, k, axis=0)
-        logits = dec(input_ids, input_atts, q_states, q_atts)
+        kv_rep = [None if e is None else
+                  {"k": jnp.repeat(e["k"], k, axis=0),
+                   "v": jnp.repeat(e["v"], k, axis=0)} for e in kv]
+        logits = dec(input_ids, input_atts, q_states, q_atts, cross_kv=kv_rep)
         answer_loss = B.lm_loss(logits, targets, reduction="none")  # [Q*k]
 
         log_probs_sum = jnp.log(topk_probs.reshape(-1)) - answer_loss
