@@ -476,10 +476,11 @@ def subset_teacher_taps(out: dict, *, vision_layers: int, text_fusion: int,
     return {
         "hidden_dict": {k: D.subset_taps(v, n_for(k))
                         for k, v in out["hidden_dict"].items()},
+        # attention dicts may be absent (probs-off ablation arms)
         "attention_dict": {k: D.subset_taps(v, n_for(k), is_attn=True)
-                           for k, v in out["attention_dict"].items()},
+                           for k, v in out.get("attention_dict", {}).items()},
         "cross_attention_dict": {k: D.subset_taps(v, n_for(k), is_attn=True)
-                                 for k, v in out["cross_attention_dict"].items()},
+                                 for k, v in out.get("cross_attention_dict", {}).items()},
         "logits_dict": out["logits_dict"],
     }
 

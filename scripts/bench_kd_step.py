@@ -83,7 +83,7 @@ def _models(batch, image_res, *, need_student=True, need_teacher_params=True):
     return student, teacher, tparams, l0, opts, state, batch_data
 
 
-def _teacher_fwd_fn(teacher, impl="xla"):
+def _teacher_fwd_fn(teacher, impl="xla", probs=True):
     """teacher params are an ARGUMENT of the jitted fn — closed-over arrays
     inline into the lowered module as constants (~800MB of HLO for the 12L
     teacher), which the remote compile service rejects (HTTP 413).
@@ -91,7 +91,12 @@ def _teacher_fwd_fn(teacher, impl="xla"):
     impl: 'xla' by default for the BENCH artifact — the fused+probs teacher
     program is faster steady-state but its 24-layer Mosaic compile blows the
     tunnel's compile budget on this host (measured >2000s cold); pass
-    --impl fused to experiment when the helper is quiet."""
+    --impl fused to experiment when the helper is quiet.
+
+    probs=False is the ablation arm (--phase ablate): same forward without
+    the attention-map taps, isolating what emitting [B,H,T,T] f32 probs
+    costs each impl (XLA DCEs the 6 untapped teacher layers' probs; the
+    fused kernel is opaque and writes all 12)."""
     import jax
     import jax.numpy as jnp
 
@@ -102,9 +107,12 @@ def _teacher_fwd_fn(teacher, impl="xla"):
             jax.lax.stop_gradient(tparams),
             batch["image"], batch["text_ids"], batch["text_atts"],
             idx=batch.get("idx"), zs=None, rng=rng,
-            output_attentions=True, output_hidden_states=True,
+            output_attentions=probs, output_hidden_states=True,
             train=False, dtype=jnp.bfloat16, impl=impl,
         )
+        if not probs:
+            for k in ("attention_dict", "cross_attention_dict"):
+                out.pop(k, None)
         # only the student-mapped tap layers leave the program (the 6L
         # student reads every other 12L teacher layer; emitting all of them
         # would double the tap IO and the teacher-output tree)
@@ -115,12 +123,12 @@ def _teacher_fwd_fn(teacher, impl="xla"):
     return teacher_fwd
 
 
-def phase_teacher_fwd(batch=16, image_res=224, iters=8, impl="xla"):
+def phase_teacher_fwd(batch=16, image_res=224, iters=8, impl="xla", probs=True):
     import jax
     import numpy as np
 
     _, teacher, tparams, _, _, _, batch_data = _models(batch, image_res, need_student=False)
-    fwd = jax.jit(_teacher_fwd_fn(teacher, impl=impl))
+    fwd = jax.jit(_teacher_fwd_fn(teacher, impl=impl, probs=probs))
     for w in range(2):
         out = fwd(tparams, batch_data, jax.random.PRNGKey(5 + w))
         np.asarray(out["logits_dict"]["itm_head_logits"])  # host-fetch sync
@@ -129,7 +137,8 @@ def phase_teacher_fwd(batch=16, image_res=224, iters=8, impl="xla"):
         out = fwd(tparams, batch_data, jax.random.PRNGKey(6 + i))
     np.asarray(out["logits_dict"]["itm_head_logits"])
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({"phase": "teacher_fwd", "ms": round(dt * 1e3, 2)}))
+    print(json.dumps({"phase": "teacher_fwd", "ms": round(dt * 1e3, 2),
+                      "impl": impl, "probs": probs}))
 
 
 def phase_student_update(batch=16, image_res=224, iters=8, impl="xla"):
@@ -220,15 +229,58 @@ def main(batch=16, image_res=224, impl="xla"):
     }))
 
 
+def ablate(batch=16):
+    """VERDICT r4 decomposition: teacher fwd at KD shapes (b16/224px) across
+    (impl in xla,fused) x (attention-probs taps on,off), each in its own
+    process (the compile helper dies on back-to-back large compiles).
+    Answers 'why does the fused kernel not pay at KD shapes': XLA DCEs the
+    6 untapped teacher layers' probs stores while the opaque fused kernel
+    emits all 12, and the remaining attention time at T=197 is too small a
+    slice for fusion to beat XLA's own elementwise fusion."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    grid = [("xla", True), ("xla", False), ("fused", True), ("fused", False)]
+    results = {}
+    for impl, probs in grid:
+        cmd = [sys.executable, os.path.abspath(__file__), "--phase",
+               "teacher_fwd", str(batch), "--impl", impl]
+        if not probs:
+            cmd.append("--no_probs")
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=2400, env=env, cwd=here)
+        got = None
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                got = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        key = f"{impl}_{'probs' if probs else 'noprobs'}"
+        results[key] = got["ms"] if got else None
+        print(f"### {key}: {results[key]} ms", file=sys.stderr)
+    print(json.dumps({"metric": "kd_teacher_fwd_ablation_ms",
+                      "batch": batch, "image_res": 224, **results}))
+
+
 if __name__ == "__main__":
     impl = "xla"
+    probs = True
     if "--impl" in sys.argv:
         i = sys.argv.index("--impl")
         impl = sys.argv[i + 1]
         del sys.argv[i:i + 2]
+    if "--no_probs" in sys.argv:
+        probs = False
+        sys.argv.remove("--no_probs")
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
         b = int(sys.argv[sys.argv.index("--phase") + 2]) if len(sys.argv) > sys.argv.index("--phase") + 2 else 16
-        {"teacher_fwd": phase_teacher_fwd, "student_update": phase_student_update}[phase](batch=b, impl=impl)
+        if phase == "ablate":
+            ablate(batch=b)
+        elif phase == "teacher_fwd":
+            phase_teacher_fwd(batch=b, impl=impl, probs=probs)
+        else:
+            phase_student_update(batch=b, impl=impl)
     else:
         main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 16, impl=impl)
