@@ -180,6 +180,12 @@ def bert_layer_apply(
             and "kernel" in lp["attention"]["q"]  # int8 params run XLA
         )
         if use_fused:
+            # text tower T=40 pads keys to 128 (3.2x masked attention
+            # work) — measured loss vs XLA; see lane_pad_efficient
+            from ..ops.pallas_fused_mha import lane_pad_efficient
+
+            use_fused = lane_pad_efficient(h.shape[1])
+        if use_fused:
             from ..ops.pallas_fused_mha import fused_self_attention
 
             res = fused_self_attention(
@@ -219,6 +225,12 @@ def bert_layer_apply(
             and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
             and "kernel" in lp["crossattention"]["q"]  # int8 params run XLA
         )  # cached decode queries are 1 token — the XLA path wins there
+        if use_fused_x:
+            # cross keys = image tokens (577 at 384px: +11% pad, kernel
+            # wins; 197 at 224px: +30%, XLA wins) — see lane_pad_efficient
+            from ..ops.pallas_fused_mha import lane_pad_efficient
+
+            use_fused_x = lane_pad_efficient(encoder_hidden.shape[1])
         if use_fused_x:
             from ..ops.pallas_fused_mha import fused_cross_attention
 

@@ -114,6 +114,12 @@ def vit_layer(
             and "kernel" in lp["attn"]["q"]  # int8-quantized params run XLA
         )
         if use_fused:
+            # short sequences (197 at 224px) pad keys +30% to the lane
+            # width and measurably lose to XLA — see lane_pad_efficient
+            from ..ops.pallas_fused_mha import lane_pad_efficient
+
+            use_fused = lane_pad_efficient(x.shape[1])
+        if use_fused:
             from ..ops.pallas_fused_mha import fused_self_attention
 
             # output_probs no longer forces the XLA fallback: the kernel

@@ -42,6 +42,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Kernel win threshold on 128-lane KEY padding. The attention dots compute
+# on lane-padded keys, so at k_len=197 (224px ViT) the kernel does +30%
+# masked work and at k_len=40 (text tower) 3.2x — measured (teacher fwd
+# b16/224px ablation, scripts/bench_kd_step.py --phase ablate): fused 17.66
+# vs XLA 14.67 ms even without probs taps. At k_len=577 (384px) padding is
+# +11% and the kernel wins +28%. Dispatchers call lane_pad_efficient(k_len)
+# and fall back to XLA when padding would eat the fusion saving.
+MAX_LANE_PAD = 1.15
+
+
+def lane_pad_efficient(k_len: int) -> bool:
+    return (_round_up(max(int(k_len), 1), LANE) / max(int(k_len), 1)) <= MAX_LANE_PAD
+
+
 def _fused_kernel(num_heads: int, head_dim: int, scale: float, t_rows: int,
                   emit_probs: bool = False):
     # Mosaic requires dynamic-slice starts that are provably multiples of

@@ -94,6 +94,41 @@ def supported(vision_width: int) -> bool:
     return vision_width % LANE == 0
 
 
+def _reference(xp, w, bias, pos, gamma, beta, *, eps: float):
+    """Pure-jnp twin of _patch_embed_padded (same f32 math) — the
+    custom_vjp backward differentiates THIS, so the train path gets exact
+    XLA gradients while the forward runs the kernel (the same
+    kernel-forward / XLA-recompute-backward pattern as pallas_fused_mha)."""
+    y = jax.lax.dot_general(
+        xp.astype(jnp.float32), w.astype(jnp.float32),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    y = y + bias.astype(jnp.float32)[None] + pos.astype(jnp.float32)[None]
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    c = y - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    out = (c * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)[None]
+           + beta.astype(jnp.float32)[None])
+    return out.astype(xp.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_embed(eps: float, interpret: bool):
+    @jax.custom_vjp
+    def op(xp, w, bias, pos, gamma, beta):
+        return _patch_embed_padded(xp, w, bias, pos, gamma, beta,
+                                   eps=eps, interpret=interpret)
+
+    def fwd(*args):
+        return op(*args), args
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(functools.partial(_reference, eps=eps), *res)
+        return vjp(ct)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def fused_patch_embed(params: dict, images: Array, *, patch_size: int,
                       vision_width: int, eps: float = 1e-5, dtype=None) -> Array:
     """images [B, H, W, 3] -> pre-LN'd hidden [B, 1+Np, D] (CLS first),
@@ -132,10 +167,9 @@ def fused_patch_embed(params: dict, images: Array, *, patch_size: int,
     beta = params["pre_ln"]["bias"][None, :]
 
     interpret = jax.devices()[0].platform != "tpu"
-    out = _patch_embed_padded(
+    out = _diff_embed(eps, interpret)(
         x, w, bias.astype(jnp.float32), pos_rows,
-        gamma.astype(jnp.float32), beta.astype(jnp.float32),
-        eps=eps, interpret=interpret)[:, :n_patches]
+        gamma.astype(jnp.float32), beta.astype(jnp.float32))[:, :n_patches]
 
     # epilog: CLS row through the identical math (LN is per-row => exact)
     cls = (params["class_embedding"].astype(jnp.float32)

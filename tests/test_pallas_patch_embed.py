@@ -58,6 +58,34 @@ def test_fused_patch_embed_nonsquare_block_pad():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_fused_patch_embed_grads_match_xla():
+    """custom_vjp: kernel forward, XLA-reference backward — grads w.r.t.
+    patch kernel / pos embed / CLS / pre-LN match the plain stage."""
+    cfg = _cfg()
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 0.2
+
+    sub = {k: params[k] for k in
+           ("patch_embed", "pos_embed", "class_embedding", "pre_ln")}
+
+    def loss_fused(s):
+        p = dict(params, **s)
+        return jnp.sum(fused_patch_embed(
+            p, images, patch_size=cfg["patch_size"],
+            vision_width=cfg["vision_width"]) ** 2)
+
+    def loss_xla(s):
+        p = dict(params, **s)
+        return jnp.sum(_xla_embed(p, images, cfg) ** 2)
+
+    va, ga = jax.value_and_grad(loss_fused)(sub)
+    vb, gb = jax.value_and_grad(loss_xla)(sub)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+    for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2e-4, rtol=2e-3)
+
+
 def test_vit_apply_fused_impl_dispatch():
     """vit_apply(impl='fused') routes through the kernel at lane widths and
     stays equivalent to the XLA path end-to-end."""
