@@ -193,3 +193,86 @@ def test_base_geometry_forward_and_remap_accounting():
 
     o_itm = np.asarray(mlp_head_apply(params["itm_head"], jnp.asarray(o_mm[:, 0])))
     np.testing.assert_allclose(o_itm, t_itm, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_base_geometry_cached_decoder_parity():
+    """The serving hot loop at the real operating point: BertLMHeadModel as
+    a cached causal decoder at 12L/768/12H with fusion_layer 6 (the
+    captioning/VQA decoder geometry, reference eff_bert.py:1084-1087 HF
+    use_cache path) vs our fixed-size functional cache + precomputed cross
+    K/V (generation.make_bert_decode_fn). A head-interleave or
+    position-offset bug invisible at 4 heads would surface here. Prompt of
+    3 tokens, then 4 single-token cached steps; per-step last-token logits
+    asserted in f32, plus greedy-argmax agreement."""
+    import torch
+
+    import jax.numpy as jnp
+    from efficientvlm_tpu.config import TextConfig
+    from efficientvlm_tpu.generation import make_bert_decode_fn
+    from efficientvlm_tpu.models import bert as B
+    from efficientvlm_tpu.train import checkpoint as C
+
+    xbert = _load_ref("ref_xbert_base_decode", "xbert.py")
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    torch.manual_seed(11)
+    rcfg = BertConfig(
+        vocab_size=VOCAB, hidden_size=WIDTH, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=512, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    rcfg.fusion_layer = FUSION
+    rcfg.encoder_width = WIDTH
+    ref = xbert.BertLMHeadModel(rcfg).eval()
+
+    params = C.bert_params_from_state_dict(
+        _sd_numpy(ref), LAYERS, FUSION, with_mlm_head=True)
+    cfg = TextConfig.create(
+        vocab_size=VOCAB, hidden_size=WIDTH, num_hidden_layers=LAYERS,
+        fusion_layer=FUSION, num_attention_heads=HEADS,
+        intermediate_size=INTER, encoder_width=WIDTH,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+    rng = np.random.RandomState(3)
+    n_img_tokens = (IMG_RES // PATCH) ** 2 + 1  # 197: the real cross width
+    enc = (rng.randn(2, n_img_tokens, WIDTH) * 0.4).astype(np.float32)
+    enc_atts = np.ones((2, n_img_tokens), np.int64)
+    tokens = rng.randint(1, VOCAB, (2, 7)).astype(np.int64)
+    tokens[:, 0] = 101
+
+    with torch.no_grad():
+        out = ref(torch.from_numpy(tokens[:, :3]),
+                  attention_mask=torch.ones(2, 3, dtype=torch.long),
+                  encoder_hidden_states=torch.from_numpy(enc),
+                  encoder_attention_mask=torch.from_numpy(enc_atts),
+                  is_decoder=True, use_cache=True, return_dict=True)
+        ref_logits = [out.logits[:, -1].numpy()]
+        past = out.past_key_values
+        for t in range(3, 7):
+            out = ref(torch.from_numpy(tokens[:, t:t + 1]),
+                      attention_mask=torch.ones(2, t + 1, dtype=torch.long),
+                      encoder_hidden_states=torch.from_numpy(enc),
+                      encoder_attention_mask=torch.from_numpy(enc_atts),
+                      is_decoder=True, use_cache=True, past_key_values=past,
+                      return_dict=True)
+            ref_logits.append(out.logits[:, -1].numpy())
+            past = out.past_key_values
+
+    decode_fn = make_bert_decode_fn(
+        params, cfg, encoder_hidden=jnp.asarray(enc),
+        encoder_atts=jnp.asarray(enc_atts))
+    cache = B.init_bert_cache(params, cfg, 2, max_len=8)
+    logits, cache = decode_fn(jnp.asarray(tokens[:, :3]), cache, 0)
+    got = [np.asarray(logits[:, -1])]
+    for t in range(3, 7):
+        logits, cache = decode_fn(jnp.asarray(tokens[:, t:t + 1]), cache, t)
+        got.append(np.asarray(logits[:, -1]))
+
+    for step, (g, w) in enumerate(zip(got, ref_logits)):
+        np.testing.assert_allclose(g, w, rtol=1e-3, atol=2e-3,
+                                   err_msg=f"step {step}")
+        np.testing.assert_array_equal(g.argmax(-1), w.argmax(-1),
+                                      err_msg=f"greedy step {step}")
