@@ -5,7 +5,11 @@ search and OSCAR `_generate_no_beam_search` (reference
 models/model_generation.py:184-227, xbert.py:1380-1498) run a Python loop
 per token on the host; here the whole decode is ONE compiled XLA program:
 
-- fixed max_length `lax.fori_loop` over a fixed-size functional KV cache
+- fixed-size functional KV cache, `lax.while_loop` over positions with
+  early exit once every sequence is finished (greedy/sample) or no live
+  beam can beat the finished pool (beam; HF BeamHypotheses.is_done) —
+  output-identical to running to max_length, and on real data most
+  captions end well before it
 - beam reorder = batched gather on the cache
 - min_length EOS masking, repetition penalty, top-p filtering as in HF
 - gates (zs) thread through every step
@@ -119,6 +123,7 @@ def generate_no_beam(
     next_logits = logits[:, -1]
 
     class _S(NamedTuple):
+        cur_len: Array
         tokens: Array
         next_logits: Array
         cache: list
@@ -126,9 +131,11 @@ def generate_no_beam(
         sum_logprobs: Array
         rng: Array
 
-    state = _S(tokens, next_logits, cache, jnp.zeros((bsz,), bool), jnp.zeros((bsz,)), rng)
+    state = _S(jnp.asarray(prompt_len), tokens, next_logits, cache,
+               jnp.zeros((bsz,), bool), jnp.zeros((bsz,)), rng)
 
-    def body(cur_len, s: _S) -> _S:
+    def body(s: _S) -> _S:
+        cur_len = s.cur_len
         logits = s.next_logits / temperature
         valid = (jnp.arange(max_length) < cur_len).astype(jnp.float32)[None, :]
         logits = apply_repetition_penalty(logits, s.tokens, valid, repetition_penalty)
@@ -147,9 +154,14 @@ def generate_no_beam(
         tokens = jax.lax.dynamic_update_slice(s.tokens, next_tok[:, None], (0, cur_len))
         finished = s.finished | (next_tok == eos_id)
         step_logits, cache = decode_fn(next_tok[:, None], s.cache, cur_len)
-        return _S(tokens, step_logits[:, -1], cache, finished, sum_logprobs, rng)
+        return _S(cur_len + 1, tokens, step_logits[:, -1], cache, finished,
+                  sum_logprobs, rng)
 
-    state = jax.lax.fori_loop(prompt_len, max_length, body, state)
+    # early exit when every row has emitted EOS (the reference's HF
+    # generate stops the same way) — provably output-identical to running
+    # to max_length: finished rows append pad and freeze sum_logprobs
+    state = jax.lax.while_loop(
+        lambda s: (s.cur_len < max_length) & ~jnp.all(s.finished), body, state)
     return state.tokens, state.sum_logprobs
 
 
@@ -206,6 +218,7 @@ def generate_beam(
     scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (num_beams - 1)), (bsz,))
 
     class _S(NamedTuple):
+        cur_len: Array
         tokens: Array        # [B*K, L] live
         next_logits: Array   # [B*K, V]
         cache: list
@@ -214,14 +227,15 @@ def generate_beam(
         fin_scores: Array    # [B, K] normalized finished scores
 
     state = _S(
-        tokens, next_logits, cache, scores,
+        jnp.asarray(prompt_len), tokens, next_logits, cache, scores,
         jnp.full((bsz, num_beams, max_length), pad_id, jnp.int32),
         jnp.full((bsz, num_beams), NEG_INF),
     )
     vocab = next_logits.shape[-1]
     k2 = 2 * num_beams
 
-    def body(cur_len, s: _S) -> _S:
+    def body(s: _S) -> _S:
+        cur_len = s.cur_len
         # HF beam_search order: log_softmax FIRST, then logits processors
         # (min-length / repetition penalty) on the log-probs — masking raw
         # logits would renormalize the distribution and shift every score
@@ -266,10 +280,30 @@ def generate_beam(
         next_tok = live_tok.reshape(flat)
         tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, cur_len))
         step_logits, cache2 = decode_fn(next_tok[:, None], cache2, cur_len)
-        return _S(tokens, step_logits[:, -1], cache2, live_scores.reshape(flat),
-                  fin_tokens, fin_scores)
+        return _S(cur_len + 1, tokens, step_logits[:, -1], cache2,
+                  live_scores.reshape(flat), fin_tokens, fin_scores)
 
-    state = jax.lax.fori_loop(prompt_len, max_length, body, state)
+    def cond(s: _S) -> Array:
+        # HF BeamHypotheses.is_done: stop once no live beam can still beat
+        # the worst finished hypothesis. Live raw scores are log-prob sums
+        # and only decrease (log_softmax <= 0; the repetition penalty keeps
+        # them <= 0), so every FUTURE pool insert at step t is bounded by
+        # best_live / t**lp, maximized over t in [cur_len, max_length] at
+        # max_length for lp > 0 and at cur_len otherwise (scores <= 0) —
+        # the same denominator split HF uses. The finalize fallback insert
+        # (live beams at max_length norm) obeys the same bound, so exiting
+        # early provably returns the identical best hypothesis.
+        denom = jnp.where(
+            jnp.float32(length_penalty) > 0.0,
+            jnp.power(jnp.float32(max_length), length_penalty),
+            jnp.power(jnp.float32(s.cur_len), length_penalty),
+        )
+        best_live = jnp.max(s.scores.reshape(bsz, num_beams), axis=1)
+        worst_fin = jnp.min(s.fin_scores, axis=1)
+        is_done = jnp.all(worst_fin >= best_live / denom)
+        return (s.cur_len < max_length) & ~is_done
+
+    state = jax.lax.while_loop(cond, body, state)
 
     # finalize (HF): unfinished batches fall back to the best live beams —
     # insert all live beams at max length into the pool, then take the best

@@ -117,3 +117,121 @@ def test_beam_pool_prefers_early_finished():
     got = list(np.asarray(out)[0])
     assert EOS in got, got
     assert got[: got.index(EOS) + 1] == [1, 5, EOS]
+
+
+def make_counting_decode_fn(table):
+    """Markov decoder whose cache carries a step counter — generate_* treats
+    the cache as an opaque pytree (the scalar passes through beam gathers
+    untouched), so the counter observes how many decode steps actually ran."""
+    tbl = jnp.asarray(table)
+
+    def decode_fn(tokens, cache, offset):
+        return tbl[tokens].astype(jnp.float32), {
+            "dummy": cache["dummy"], "steps": cache["steps"] + 1}
+
+    return decode_fn
+
+
+def test_greedy_early_exit_is_output_identical():
+    """while_loop early exit: once every row emits EOS the loop stops; the
+    returned tokens/logprobs equal the host greedy loop run to max_length."""
+    table = np.full((V, V), -4.0, np.float32)
+    table[1, 5] = 3.0
+    table[5, 6] = 3.0
+    table[6, EOS] = 4.0   # every row finishes after 3 generated tokens
+    from efficientvlm_tpu.generation import generate_no_beam
+
+    decode_fn = make_counting_decode_fn(table)
+    max_length = 16
+    cache = {"dummy": jnp.zeros((2, 1)), "steps": jnp.asarray(0)}
+    tokens, logp = generate_no_beam(
+        decode_fn, cache, jnp.asarray([[1], [1]]),
+        max_length=max_length, eos_id=EOS, pad_id=PAD)
+    got = np.asarray(tokens)
+    np.testing.assert_array_equal(got, [[1, 5, 6, EOS] + [PAD] * 12] * 2)
+    # host greedy logprob of the same path
+    lp = log_softmax_np(table)
+    want = lp[1, 5] + lp[5, 6] + lp[6, EOS]
+    np.testing.assert_allclose(np.asarray(logp), [want, want], rtol=1e-5)
+
+
+def test_greedy_early_exit_step_count():
+    """An io_callback inside decode_fn fires once per EXECUTED while_loop
+    iteration — proves the loop exited right after all rows hit EOS
+    (prefill + 4 steps: 3 generated tokens + the post-EOS logits fetch)
+    instead of running all 32 positions."""
+    table = np.full((V, V), -4.0, np.float32)
+    table[1, 5] = 3.0
+    table[5, 6] = 3.0
+    table[6, EOS] = 4.0
+    from jax.experimental import io_callback
+
+    from efficientvlm_tpu.generation import generate_no_beam
+
+    tbl = jnp.asarray(table)
+    calls = []
+
+    def decode_fn(tokens, cache, offset):
+        io_callback(lambda: calls.append(1), None, ordered=True)
+        return tbl[tokens].astype(jnp.float32), cache
+
+    tokens, _ = jax.jit(lambda: generate_no_beam(
+        decode_fn, jnp.zeros((1, 1)), jnp.asarray([[1]]),
+        max_length=32, eos_id=EOS, pad_id=PAD))()
+    tokens = np.asarray(tokens)
+    assert list(tokens[0][:4]) == [1, 5, 6, EOS]
+    assert (tokens[0][4:] == PAD).all()
+    assert len(calls) <= 6, len(calls)  # 32-step fixed loop would be 32
+
+
+def test_beam_early_exit_matches_hf_host_loop():
+    """Beam early exit (BeamHypotheses.is_done bound) must not change the
+    selected hypothesis: same 8-seed differential as
+    test_beam_matches_hf_host_loop but on EOS-biased tables where beams
+    finish long before max_length."""
+    from efficientvlm_tpu.generation import generate_beam
+
+    mismatches = 0
+    for seed in range(8):
+        table = make_table(seed + 100)
+        table[:, EOS] += 4.0  # strong finish bias -> pool fills early
+        decode_fn = make_decode_fn(table)
+        prompt = np.asarray([[1, 2]])
+        out = generate_beam(
+            decode_fn, jnp.zeros((3, 1)), jnp.asarray(prompt),
+            num_beams=3, max_length=14, eos_id=EOS, pad_id=PAD, min_length=4,
+        )
+        want = hf_beam_host(table, [1, 2], 3, 14, min_length=4)
+        got = list(np.asarray(out)[0])
+
+        def trim(t):
+            t = list(t)
+            return t[: t.index(EOS) + 1] if EOS in t else t
+
+        if trim(got) != trim(want):
+            mismatches += 1
+    assert mismatches == 0, f"{mismatches}/8 diverge with early exit"
+
+
+def test_beam_early_exit_negative_length_penalty():
+    """lp < 0 exercises the other is_done denominator branch."""
+    from efficientvlm_tpu.generation import generate_beam
+
+    for seed in range(4):
+        table = make_table(seed + 40)
+        table[:, EOS] += 3.0
+        decode_fn = make_decode_fn(table)
+        out = generate_beam(
+            decode_fn, jnp.zeros((3, 1)), jnp.asarray([[1, 2]]),
+            num_beams=3, max_length=12, eos_id=EOS, pad_id=PAD,
+            min_length=3, length_penalty=-0.5,
+        )
+        want = hf_beam_host(table, [1, 2], 3, 12, min_length=3,
+                            length_penalty=-0.5)
+        got = list(np.asarray(out)[0])
+
+        def trim(t):
+            t = list(t)
+            return t[: t.index(EOS) + 1] if EOS in t else t
+
+        assert trim(got) == trim(want), (seed, got, want)
