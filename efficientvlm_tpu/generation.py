@@ -53,7 +53,10 @@ def make_bert_decode_fn(
     encoder states are projected ONCE here; the fori_loop body closes over
     them as loop invariants, so each decode step only pays the q projection
     and the [1, S] attention — the reference reuses cross K/V the same way
-    via HF past_key_value (eff_bert.py:283-295)."""
+    via HF past_key_value (eff_bert.py:283-295). `encoder_hidden` /
+    `encoder_atts` may have FEWER rows than the decode tokens (B vs B*K
+    beam- or k-tiled rows, groups contiguous): grouped-K/V attention shares
+    each row's K/V across its group instead of materializing repeats."""
     cross_kv = B.precompute_cross_kv(params, cfg, encoder_hidden, dtype=dtype)
 
     def decode_fn(tokens: Array, cache: list, offset) -> Tuple[Array, list]:
@@ -200,9 +203,11 @@ def generate_beam(
     insertion, HF's `add`) instead of freezing a live slot. Jittable:
     fixed-size pool, fori_loop over positions, cache reorder via gather.
 
-    prompt_ids [B, P] (NOT beam-expanded; the cache and decode_fn closures
-    must already operate on B*K rows — expand encoder states with repeat
-    before building decode_fn). Returns best tokens [B, max_length]."""
+    prompt_ids [B, P] (NOT beam-expanded; the self-attention cache must be
+    sized for B*K rows, while encoder states / cross K/V stay UNEXPANDED at
+    B rows — all K beams of an image share its cross K/V through
+    grouped-K/V attention, ops/attention.py). Returns best tokens
+    [B, max_length]."""
     bsz, prompt_len = prompt_ids.shape
     flat = bsz * num_beams
     prompt_flat = jnp.repeat(prompt_ids, num_beams, axis=0)

@@ -166,9 +166,10 @@ class XVLMForCaptioning:
         image_embeds, image_atts, _ = self.encode_image(params, image, zs=zs, dtype=dtype, impl=impl)
         bsz = image_embeds.shape[0]
         reps = num_beams if num_beams > 1 else 1
-        if reps > 1:
-            image_embeds = jnp.repeat(image_embeds, reps, axis=0)
-            image_atts = jnp.repeat(image_atts, reps, axis=0)
+        # encoder states stay UNEXPANDED across beams: all beams of an image
+        # share its cross K/V via grouped-K/V attention (ops/attention.py) —
+        # the reference repeat_interleaves the image embeds x beams
+        # (model_generation.py:420-422) and re-reads K/V per beam every step
         tz = _text_stack_zs(zs)
         decode_fn = make_bert_decode_fn(
             params["text_decoder"], self.text_cfg,
@@ -308,8 +309,9 @@ class XVLMForVQA:
         """k-way answer re-ranking (reference model_generation.py:385-444):
         two batched decoder calls + chain-rule log-prob sum. The decoder's
         cross K/V over the question states are projected ONCE ([Q, Tq]
-        rows) and repeat-expanded for the k-tiled scoring call — projecting
-        on the tiled states would redo the same dots k(=k_test) times."""
+        rows); the k-tiled scoring call attends to them via grouped-K/V
+        attention (ops/attention.py) — the k(=k_test) candidate rows per
+        question share one K/V, never re-projected nor repeat-materialized."""
         num_ques = question_states.shape[0]
         num_ans = answer_ids.shape[0]
         dz = _decoder_zs(zs)
@@ -337,12 +339,11 @@ class XVLMForVQA:
         input_atts = jnp.take(answer_atts, topk_ids.reshape(-1), axis=0)
         targets = jnp.where(input_ids == self.pad_token_id, -100, input_ids)
 
-        q_states = jnp.repeat(question_states, k, axis=0)
-        q_atts = jnp.repeat(question_atts, k, axis=0)
-        kv_rep = [None if e is None else
-                  {"k": jnp.repeat(e["k"], k, axis=0),
-                   "v": jnp.repeat(e["v"], k, axis=0)} for e in kv]
-        logits = dec(input_ids, input_atts, q_states, q_atts, cross_kv=kv_rep)
+        # question states/atts stay at [Q] rows: the [Q*k] scoring rows are
+        # grouped contiguously (jnp.take of topk_ids.reshape(-1) orders by
+        # question), so grouped-K/V attention shares each question's K/V
+        logits = dec(input_ids, input_atts, question_states, question_atts,
+                     cross_kv=kv)
         answer_loss = B.lm_loss(logits, targets, reduction="none")  # [Q*k]
 
         log_probs_sum = jnp.log(topk_probs.reshape(-1)) - answer_loss
@@ -433,9 +434,8 @@ class _TranslationBase:
         )
         bsz = src_embeds.shape[0]
         reps = num_beams if num_beams > 1 else 1
-        if reps > 1:
-            src_embeds = jnp.repeat(src_embeds, reps, axis=0)
-            src_atts = jnp.repeat(src_atts, reps, axis=0)
+        # beams share the source cross K/V (grouped-K/V attention) —
+        # no repeat-expansion of src states
         decode_fn = make_bert_decode_fn(
             params["text_decoder"], self.decoder_cfg,
             encoder_hidden=src_embeds, encoder_atts=src_atts, dtype=dtype, impl=impl,

@@ -100,12 +100,20 @@ def multi_head_attention(
     attention spans the first index+Tq positions (bias must mask the rest —
     use `decode_bias`).
 
-    precomputed_kv: {"k": [B,H,S,dh], "v": ...} — already-projected keys/
+    precomputed_kv: {"k": [Bk,H,S,dh], "v": ...} — already-projected keys/
     values for cross-attention whose source (image embeds) is constant
     across decode steps; skips the k/v projections entirely (the reference
     caches cross K/V the same way via HF past_key_value, eff_bert.py:283-295
     — without this, every decode step repays two [S,W]x[W,W] dots per cross
     layer). Mutually exclusive with `cache`.
+
+    Grouped K/V: `Bk` may DIVIDE the query batch `Bq` (rows grouped
+    contiguously, i.e. produced by `jnp.repeat(x, G, axis=0)`): every group
+    of G = Bq//Bk query rows attends to ONE shared K/V — beam-expanded
+    decode (all beams of an image share its image tokens) and k-tiled
+    answer ranking never materialize or re-read repeated K/V. At caption
+    decode shapes (64 img x 3 beams x 577 keys) the repeated cross K/V is
+    ~1 GB of HBM reads per decode step; sharing cuts it 3x.
     """
     self_attn = x_kv is None
     if self_attn:
@@ -114,6 +122,13 @@ def multi_head_attention(
     q = _split_heads(dense(params["q"], x_q, dtype=dtype), num_heads)
     if precomputed_kv is not None:
         k, v = precomputed_kv["k"], precomputed_kv["v"]
+        if k.shape[0] != q.shape[0]:
+            out, probs = _grouped_kv_attention(
+                params, q, k, v, bias=bias, head_z=head_z,
+                head_layer_z=head_layer_z, output_probs=output_probs,
+                dropout_rate=dropout_rate, rng=rng, train=train, dtype=dtype,
+            )
+            return out, probs, cache
     else:
         k = _split_heads(dense(params["k"], x_kv, dtype=dtype), num_heads)
         v = _split_heads(dense(params["v"], x_kv, dtype=dtype), num_heads)
@@ -154,6 +169,58 @@ def multi_head_attention(
         out = out * jnp.asarray(head_layer_z, dtype=out.dtype)
 
     return out, (probs if output_probs else None), new_cache
+
+
+def _grouped_kv_attention(
+    params,
+    q: Array,                # [Bk*G, H, Tq, dh] — groups contiguous
+    k: Array,                # [Bk, H, S, dh]
+    v: Array,                # [Bk, H, S, dh]
+    *,
+    bias: Optional[Array] = None,
+    head_z: Optional[Array] = None,
+    head_layer_z: Optional[Array] = None,
+    output_probs: bool = False,
+    dropout_rate: float = 0.0,
+    rng: Optional[Array] = None,
+    train: bool = False,
+    dtype=None,
+):
+    """Attention where G contiguous query rows share one K/V row (see
+    multi_head_attention's grouped-K/V contract). The einsum batches over
+    (Bk, H) and broadcasts K/V across the G dim, so XLA reads each K/V tile
+    once per group instead of G times — no repeated materialization."""
+    bq, h, tq, dh = q.shape
+    bk, _, s, _ = k.shape
+    if bq % bk != 0:
+        raise ValueError(f"grouped K/V: query batch {bq} not a multiple of kv batch {bk}")
+    g = bq // bk
+    qg = q.reshape(bk, g, h, tq, dh)
+    scale = 1.0 / math.sqrt(dh)
+    scores = jnp.einsum("bghqd,bhkd->bghqk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        if bias.shape[0] == bq:       # per-query-row bias [Bq,1|H,Tq|1,S]
+            bias = bias.reshape((bk, g) + bias.shape[1:])
+        elif bias.shape[0] in (1, bk):  # shared / per-kv-row bias
+            bias = bias[:, None]
+        else:
+            raise ValueError(f"grouped K/V: bias batch {bias.shape[0]} "
+                             f"matches neither query ({bq}) nor kv ({bk}) batch")
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs_d = probs
+    if train and dropout_rate > 0.0 and rng is not None:
+        keep = 1.0 - dropout_rate
+        probs_d = probs * jax.random.bernoulli(rng, keep, probs.shape) / keep
+    ctx = jnp.einsum("bghqk,bhkd->bghqd", probs_d.astype(v.dtype), v)
+    ctx = ctx.reshape(bq, h, tq, dh)
+    if head_z is not None:
+        ctx = ctx * head_z.reshape(1, -1, 1, 1).astype(ctx.dtype)
+    out = dense(params["out"], _merge_heads(ctx), dtype=dtype)
+    if head_layer_z is not None:
+        out = out * jnp.asarray(head_layer_z, dtype=out.dtype)
+    return out, (probs.reshape(bq, h, tq, s) if output_probs else None)
 
 
 def project_kv(params, x_kv: Array, *, num_heads: int, dtype=None) -> dict:
