@@ -138,9 +138,49 @@ def _cast_bf16(params):
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
 
 
+def bench_rerank(model, params, rows=4, k=256, image_res=384, txt_len=40, iters=8):
+    """ITM k_test rerank chunk (evaluation/retrieval.py:_i2t_chunk shapes:
+    rows_per_call=4 query images x k_test=256 candidate texts): the k
+    candidates per image share its cross K/V via grouped-K/V attention
+    (ops/attention.py) instead of repeat-projecting the image rows — the
+    reranking stage is the reference retrieval eval's hot loop
+    (Eff_Retrieval.py:285-319). Returns pairs/s keys prefixed rerank_."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientvlm_tpu.models.xvlm import mlp_head_apply
+
+    dtype = jnp.bfloat16
+    n_patch = (image_res // 16) ** 2 + 1
+    key = jax.random.PRNGKey(3)
+    ib = jax.random.normal(key, (rows, n_patch, 768), dtype)
+    txt = jax.random.normal(key, (rows * k, txt_len, 768), dtype)
+    att = jnp.ones((rows * k, txt_len), jnp.int32)
+
+    def chunk(p, ib, txt, att):
+        img_atts = jnp.ones(ib.shape[:2], jnp.int32)
+        out = model.get_cross_embeds(
+            p, ib, img_atts, text_embeds=txt, text_atts=att,
+            dtype=dtype, impl="fused",
+        )
+        logits = mlp_head_apply(p["itm_head"], out["last_hidden"][:, 0], dtype=dtype)
+        return logits[:, 1].reshape(rows, k)
+
+    r = timed_tput(chunk, (params, ib, txt, att), rows * k, iters=iters)
+    return {"rerank_tput": r["tput"], "rerank_mfu": r["mfu"],
+            "rerank_tflops_per_s": r["tflops_per_s"]}
+
+
 def phase_teacher():
     model, params = build(12, 12)
     print(json.dumps(bench_model(model, _cast_bf16(params))))
+
+
+def phase_rerank_teacher():
+    # own subprocess: the remote compile helper dies compiling several
+    # large programs back-to-back in one process (CLAUDE.md)
+    model, params = build(12, 12)
+    print(json.dumps(bench_rerank(model, _cast_bf16(params))))
 
 
 def phase_student():
@@ -164,6 +204,19 @@ def phase_pruned(sparsity=0.25):
     params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
     print(json.dumps({**bench_model(model, _cast_bf16(params)),
                       "sparsity": sparsity, "realized_sparsity": realized}))
+
+
+def phase_rerank_pruned(sparsity=0.25):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_prune_probe import aligned_zs
+
+    from efficientvlm_tpu.pruning.export import prune_xvlm_params
+
+    model, params = build(6, 6)
+    zs = aligned_zs(sparsity)
+    zs.pop("__realized_sparsity__")
+    params = prune_xvlm_params(params, zs, fusion_layer=3, head_dim=64, mxu_align=True)
+    print(json.dumps(bench_rerank(model, _cast_bf16(params))))
 
 
 def phase_pruned_int8(sparsity=0.25, mode="w8"):
@@ -463,6 +516,8 @@ def main():
         phase = sys.argv[sys.argv.index("--phase") + 1]
         {"teacher": phase_teacher, "student": phase_student,
          "pruned": phase_pruned, "pruned_int8": phase_pruned_int8,
+         "rerank_teacher": phase_rerank_teacher,
+         "rerank_pruned": phase_rerank_pruned,
          "vqa_teacher": phase_vqa_teacher,
          "pruned_vqa": phase_pruned_vqa,
          "caption_teacher": phase_caption_teacher,
@@ -490,6 +545,12 @@ def main():
     except Exception as e:
         print(f"### int8 phase failed: {e}", file=sys.stderr)
     pruned_int8 = int8_d.get("tput")
+    rerank_p = rerank_t = {}
+    try:
+        rerank_p = _run_phase("rerank_pruned")
+        rerank_t = _run_phase("rerank_teacher")
+    except Exception as e:
+        print(f"### rerank phase failed: {e}", file=sys.stderr)
     vqa_d = vqa_teacher_d = dict(_empty)
     try:
         vqa_d = _run_phase("pruned_vqa", timeout=1500)
@@ -556,6 +617,15 @@ def main():
         "pruned_int8_pairs_per_sec": round(pruned_int8, 2) if pruned_int8 else None,
         "pruned_int8_vs_teacher": (
             round(pruned_int8 / teacher, 3) if pruned_int8 else None),
+        # ITM k_test rerank chunk (grouped cross-K/V; eval hot loop)
+        "rerank_pruned_pairs_per_sec": (
+            round(rerank_p["rerank_tput"], 2) if rerank_p.get("rerank_tput") else None),
+        "rerank_teacher_pairs_per_sec": (
+            round(rerank_t["rerank_tput"], 2) if rerank_t.get("rerank_tput") else None),
+        "rerank_pruned_vs_teacher": (
+            round(rerank_p["rerank_tput"] / rerank_t["rerank_tput"], 3)
+            if rerank_p.get("rerank_tput") and rerank_t.get("rerank_tput") else None),
+        "rerank_mfu_pruned": rerank_p.get("rerank_mfu"),
         "kd_step_ms_b16_224px": kd_ms,
         "pruned_vqa_480_q_per_sec": round(pruned_vqa, 2) if pruned_vqa else None,
         "vqa_teacher_q_per_sec": round(vqa_teacher, 2) if vqa_teacher else None,

@@ -156,7 +156,11 @@ def retrieval_scores(
     @jax.jit
     def _i2t_chunk(p, ib, tb, ab, row_idx, cand_idx):
         r, k = cand_idx.shape
-        img = jnp.repeat(ib[row_idx], k, axis=0)        # [R*k, S, D]
+        # image rows stay UNEXPANDED at [R]: the k candidate texts per image
+        # share its cross K/V via grouped-K/V attention (ops/attention.py),
+        # skipping the k_test-repeated K/V projections (~2/3 of the
+        # fusion-stack FLOPs at these shapes)
+        img = ib[row_idx]                               # [R, S, D]
         txt = tb[cand_idx.reshape(-1)]                  # [R*k, T, D]
         att = ab[cand_idx.reshape(-1)]
         return _scores(p, img, txt, att, r, k)

@@ -224,6 +224,9 @@ def bert_layer_apply(
                  or (encoder_bias.ndim == 4 and encoder_bias.shape[2] == 1))
             and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
             and "kernel" in lp["crossattention"]["q"]  # int8 params run XLA
+            # shared (unexpanded) encoder rows: grouped-K/V XLA beats the
+            # kernel — it skips the per-group-repeated K/V projections
+            and encoder_hidden.shape[0] == h.shape[0]
         )  # cached decode queries are 1 token — the XLA path wins there
         if use_fused_x:
             # cross keys = image tokens (577 at 384px: +11% pad, kernel

@@ -122,16 +122,22 @@ def multi_head_attention(
     q = _split_heads(dense(params["q"], x_q, dtype=dtype), num_heads)
     if precomputed_kv is not None:
         k, v = precomputed_kv["k"], precomputed_kv["v"]
-        if k.shape[0] != q.shape[0]:
-            out, probs = _grouped_kv_attention(
-                params, q, k, v, bias=bias, head_z=head_z,
-                head_layer_z=head_layer_z, output_probs=output_probs,
-                dropout_rate=dropout_rate, rng=rng, train=train, dtype=dtype,
-            )
-            return out, probs, cache
     else:
         k = _split_heads(dense(params["k"], x_kv, dtype=dtype), num_heads)
         v = _split_heads(dense(params["v"], x_kv, dtype=dtype), num_heads)
+    if k.shape[0] != q.shape[0]:
+        # Cross-attention with a SHARED source: x_kv/precomputed_kv rows
+        # divide the query rows (beam-expanded decode, k_test-tiled rerank
+        # and answer scoring). Projecting from the unexpanded source and
+        # broadcasting here skips (G-1)/G of the K/V projection FLOPs — in
+        # the retrieval i2t rerank the cross K/V projections over the
+        # repeated image rows are ~2/3 of the fusion-stack FLOPs.
+        out, probs = _grouped_kv_attention(
+            params, q, k, v, bias=bias, head_z=head_z,
+            head_layer_z=head_layer_z, output_probs=output_probs,
+            dropout_rate=dropout_rate, rng=rng, train=train, dtype=dtype,
+        )
+        return out, probs, cache
 
     new_cache = cache
     if cache is not None:
