@@ -82,3 +82,34 @@ def test_scan_falls_back_for_nonuniform_pruned_layers():
     a = V.vit_apply(params, imgs, cfg_u)["last_hidden"]
     b = V.vit_apply(params, imgs, cfg_s)["last_hidden"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_fusion_grouped_kv_matches_expanded():
+    """Fusion mode with UNEXPANDED encoder rows (the k_test-tiled rerank
+    layout: k candidate texts per image share its cross K/V via grouped-K/V
+    attention) must match the repeat-expanded forward, scanned AND unrolled."""
+    cfg_s = TextConfig.create(scan_layers=True, **TKW)
+    cfg_u = TextConfig.create(**TKW)
+    params = B.init_bert(jax.random.PRNGKey(0), cfg_s)
+    b, k = 2, 3
+    txt = jax.random.normal(jax.random.PRNGKey(3), (b * k, 9, 32)) * 0.1
+    atts = jnp.ones((b * k, 9), jnp.int32).at[0, 6:].set(0)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (b, 5, 32)) * 0.1
+    enc_atts = jnp.ones((b, 5), jnp.int32).at[1, 4:].set(0)
+    enc_rep = jnp.repeat(enc, k, axis=0)
+    enc_atts_rep = jnp.repeat(enc_atts, k, axis=0)
+
+    outs = {}
+    for name, cfg, e, ea in [
+        ("scan_grouped", cfg_s, enc, enc_atts),
+        ("unrolled_grouped", cfg_u, enc, enc_atts),
+        ("scan_expanded", cfg_s, enc_rep, enc_atts_rep),
+        ("unrolled_expanded", cfg_u, enc_rep, enc_atts_rep),
+    ]:
+        outs[name] = np.asarray(B.bert_apply(
+            params, None, cfg, inputs_embeds=txt, attention_mask=atts,
+            encoder_hidden=e, encoder_attention_mask=ea, mode="fusion",
+        )["last_hidden"])
+    for name in ("unrolled_grouped", "scan_expanded", "unrolled_expanded"):
+        np.testing.assert_allclose(outs["scan_grouped"], outs[name], atol=2e-5,
+                                   err_msg=name)
