@@ -84,23 +84,16 @@ def timed_tput(fn, args, items_per_call, *, iters=20, runs=3, warmups=3,
     import jax
     import numpy as np
 
+    from efficientvlm_tpu.train.profiler import timed_runs
+
     compiled = jax.jit(fn).lower(*args).compile()
     try:
         flops = float(compiled.cost_analysis().get("flops", 0.0))
     except Exception:
         flops = 0.0
-    out = None
-    for _ in range(warmups):
-        out = compiled(*args)
-    # NOTE: on the tunneled TPU backend block_until_ready returns before
-    # execution completes; a host fetch is the only reliable sync.
-    np.asarray(jax.tree.leaves(out)[-1])
-    tputs = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        outs = [compiled(*args) for _ in range(iters)]
-        np.asarray(jax.tree.leaves(outs[-1])[-1])
-        tputs.append(items_per_call * iters / (time.perf_counter() - t0))
+    # shared tunnel-safe timing core (warm calls, host-fetch sync, N runs)
+    secs = timed_runs(compiled, args, iters=iters, runs=runs, warmups=warmups)
+    tputs = [items_per_call / s for s in secs]
     tput = float(np.median(tputs))
     tflops_per_s = flops * tput / items_per_call / 1e12 if flops > 0 else None
     return {
@@ -148,7 +141,7 @@ def bench_rerank(model, params, rows=4, k=256, image_res=384, txt_len=40, iters=
     import jax
     import jax.numpy as jnp
 
-    from efficientvlm_tpu.models.xvlm import mlp_head_apply
+    from efficientvlm_tpu.evaluation.retrieval import itm_rerank_scores
 
     dtype = jnp.bfloat16
     n_patch = (image_res // 16) ** 2 + 1
@@ -158,13 +151,9 @@ def bench_rerank(model, params, rows=4, k=256, image_res=384, txt_len=40, iters=
     att = jnp.ones((rows * k, txt_len), jnp.int32)
 
     def chunk(p, ib, txt, att):
-        img_atts = jnp.ones(ib.shape[:2], jnp.int32)
-        out = model.get_cross_embeds(
-            p, ib, img_atts, text_embeds=txt, text_atts=att,
-            dtype=dtype, impl="fused",
-        )
-        logits = mlp_head_apply(p["itm_head"], out["last_hidden"][:, 0], dtype=dtype)
-        return logits[:, 1].reshape(rows, k)
+        # the SAME chunk program the retrieval eval runs (shared helper)
+        return itm_rerank_scores(model, p, ib, txt, att, rows, k,
+                                 dtype=dtype, impl="fused")
 
     r = timed_tput(chunk, (params, ib, txt, att), rows * k, iters=iters)
     return {"rerank_tput": r["tput"], "rerank_mfu": r["mfu"],

@@ -106,6 +106,28 @@ def encode_images(model: XVLM, params, image_batches, *, zs=None, dtype=None, im
     return np.concatenate(feats), np.concatenate(embeds)
 
 
+def itm_rerank_scores(
+    model: XVLM, params, img_rows, txt_rows, txt_atts, rows: int, k: int,
+    *, zs=None, dtype=None, impl="xla",
+):
+    """THE rerank chunk program — ITM logits [rows, k] over candidate pairs
+    (reference Eff_Retrieval.py:285-319 scores pairs one row at a time;
+    here a whole chunk is one fusion forward). txt_rows/txt_atts are
+    [rows*k] (k candidates per row, CONTIGUOUS by row). img_rows may be
+    UNEXPANDED [rows] — each image's cross K/V is then shared by its k
+    texts via grouped-K/V attention (ops/attention.py) — or expanded
+    [rows*k]. Evaluation reranking, bench.py's rerank phases and the probe
+    scripts all run this same function, so they measure the same program."""
+    groups = txt_rows.shape[0] // img_rows.shape[0]
+    img_atts = jnp.ones(img_rows.shape[:2], jnp.int32)
+    out = model.get_cross_embeds(
+        params, img_rows, img_atts, text_embeds=txt_rows, text_atts=txt_atts,
+        zs=zs, encoder_groups=groups, dtype=dtype, impl=impl,
+    )
+    logits = mlp_head_apply(params["itm_head"], out["last_hidden"][:, 0], dtype=dtype)
+    return logits[:, 1].reshape(rows, k)
+
+
 def retrieval_scores(
     model: XVLM,
     params,
@@ -143,15 +165,11 @@ def retrieval_scores(
     att_bank = jax.device_put(jnp.asarray(text_atts, jnp.int32))
 
     def _scores(p, img_rows, txt_rows, atts_rows, r, k):
-        """img_rows [R,S,D] query/candidate image feats already expanded to
-        [R*k] pairing on the caller side via gathers."""
-        img_atts = jnp.ones(img_rows.shape[:2], jnp.int32)
-        out = model.get_cross_embeds(
-            p, img_rows, img_atts, text_embeds=txt_rows,
-            text_atts=atts_rows, zs=zs, dtype=dtype, impl=impl,
-        )
-        logits = mlp_head_apply(p["itm_head"], out["last_hidden"][:, 0], dtype=dtype)
-        return logits[:, 1].reshape(r, k)
+        """img_rows: [R] (i2t — unexpanded, grouped-K/V shares each image's
+        cross K/V across its k candidate texts) or [R*k] (t2i — candidate
+        images expanded to pair with the repeated text rows)."""
+        return itm_rerank_scores(model, p, img_rows, txt_rows, atts_rows,
+                                 r, k, zs=zs, dtype=dtype, impl=impl)
 
     @jax.jit
     def _i2t_chunk(p, ib, tb, ab, row_idx, cand_idx):

@@ -60,11 +60,15 @@ def make_bert_decode_fn(
     cross_kv = B.precompute_cross_kv(params, cfg, encoder_hidden, dtype=dtype)
 
     def decode_fn(tokens: Array, cache: list, offset) -> Tuple[Array, list]:
+        # the grouped-K/V opt-in boundary: token rows at B*K vs encoder rows
+        # at B is DELIBERATE here (beam/k-tiled expansion), so derive G and
+        # declare it — deeper layers treat undeclared mismatches as errors
+        groups = tokens.shape[0] // encoder_hidden.shape[0]
         out = B.bert_apply(
             params, tokens, cfg,
             encoder_hidden=encoder_hidden, encoder_attention_mask=encoder_atts,
             mode="multi_modal", is_decoder=True, cache=cache, cross_kv=cross_kv,
-            position_offset=offset,
+            encoder_groups=groups, position_offset=offset,
             text_head_z=text_head_z, cross_head_z=cross_head_z,
             text_mlp_z=text_mlp_z, cross_mlp_z=cross_mlp_z,
             dtype=dtype, impl=impl,

@@ -149,6 +149,7 @@ def bert_layer_apply(
     mlp_z: Optional[Array] = None,
     cache: Optional[dict] = None,
     cross_kv: Optional[dict] = None,
+    encoder_groups: int = 1,
     output_probs: bool = False,
     train: bool = False,
     rng: Optional[Array] = None,
@@ -158,7 +159,10 @@ def bert_layer_apply(
     """Post-LN BERT layer; returns (h, self_probs, cross_probs, new_cache).
     `cross_kv` supplies pre-projected cross K/V (see precompute_cross_kv) —
     the decode hot loop must not repay the image-embed projections every
-    step (reference reuses them via past_key_value, eff_bert.py:283-295)."""
+    step (reference reuses them via past_key_value, eff_bert.py:283-295).
+    `encoder_groups` > 1 declares that encoder_hidden/cross_kv rows are
+    SHARED by groups of contiguous query rows (grouped-K/V attention,
+    ops/attention.py) — batch mismatches without it are loud errors."""
     eps = cfg.get("layer_norm_eps", 1e-12)
     head_dim = cfg["hidden_size"] // cfg["num_attention_heads"]
     act = ACT2FN[cfg.get("hidden_act", "gelu")]
@@ -226,7 +230,7 @@ def bert_layer_apply(
             and "kernel" in lp["crossattention"]["q"]  # int8 params run XLA
             # shared (unexpanded) encoder rows: grouped-K/V XLA beats the
             # kernel — it skips the per-group-repeated K/V projections
-            and encoder_hidden.shape[0] == h.shape[0]
+            and encoder_groups == 1
         )  # cached decode queries are 1 token — the XLA path wins there
         if use_fused_x:
             # cross keys = image tokens (577 at 384px: +11% pad, kernel
@@ -260,6 +264,7 @@ def bert_layer_apply(
                 train=train,
                 dtype=dtype,
                 precomputed_kv=cross_kv,
+                kv_groups=encoder_groups,
                 impl="xla" if impl == "fused" else impl,
             )
             x_out = dropout(x_out, hdrop, rng=rngs[3], train=train)
@@ -300,6 +305,7 @@ def bert_encoder_apply(
     cross_mlp_z=None,
     cache: Optional[list] = None,
     cross_kv: Optional[list] = None,
+    encoder_groups: int = 1,
     output_attentions: bool = False,
     output_hidden_states: bool = False,
     train: bool = False,
@@ -309,7 +315,8 @@ def bert_encoder_apply(
 ):
     """Run layers per mode (reference xbert.py:558-567). Returns dict with
     last_hidden, hidden_states, attentions, cross_attentions, cache.
-    `cross_kv`: per-cross-layer pre-projected K/V (precompute_cross_kv)."""
+    `cross_kv`: per-cross-layer pre-projected K/V (precompute_cross_kv).
+    `encoder_groups`: grouped-K/V declaration, see bert_layer_apply."""
     fusion = cfg["fusion_layer"]
     n = cfg["num_hidden_layers"]
     if mode == "text":
@@ -362,6 +369,7 @@ def bert_encoder_apply(
                     x["params"], carry, cfg, bias=bias,
                     encoder_hidden=encoder_hidden if is_cross else None,
                     encoder_bias=encoder_bias if is_cross else None,
+                    encoder_groups=encoder_groups if is_cross else 1,
                     self_head_z=(hz[0] if is_cross else hz) if hz is not None else None,
                     cross_head_z=(hz[1] if is_cross else None) if hz is not None else None,
                     mlp_z=x.get("mlp_zs"),
@@ -445,6 +453,7 @@ def bert_encoder_apply(
             cache=cache[i - lo] if cache is not None else None,
             cross_kv=(cross_kv[i - fusion] if (is_cross and cross_kv is not None)
                       else None),
+            encoder_groups=encoder_groups if is_cross else 1,
             output_probs=output_attentions,
             train=train,
             rng=lrng,
@@ -482,6 +491,7 @@ def bert_apply(
     is_decoder: bool = False,
     cache: Optional[list] = None,
     cross_kv: Optional[list] = None,
+    encoder_groups: int = 1,
     position_offset: Array | int = 0,
     text_head_z=None,
     cross_head_z=None,
@@ -546,6 +556,7 @@ def bert_apply(
         cross_mlp_z=cross_mlp_z,
         cache=cache,
         cross_kv=cross_kv,
+        encoder_groups=encoder_groups,
         output_attentions=output_attentions,
         output_hidden_states=output_hidden_states,
         train=train,

@@ -317,10 +317,13 @@ class XVLMForVQA:
         dz = _decoder_zs(zs)
 
         def dec(ids, atts, enc, enc_atts, cross_kv=None):
+            # k-tiled scoring rows share their question's K/V: declare the
+            # group size (ids at [Q*k] vs enc at [Q]; contiguous by question)
             out = B.bert_apply(
                 params["text_decoder"], ids, self.decoder_cfg, attention_mask=atts,
                 encoder_hidden=enc, encoder_attention_mask=enc_atts,
                 mode="multi_modal", is_decoder=True, cross_kv=cross_kv,
+                encoder_groups=ids.shape[0] // enc.shape[0],
                 dtype=dtype, impl=impl, **dz,
             )
             return B.mlm_head_apply(params["text_decoder"]["cls"], out["last_hidden"], self.decoder_cfg, dtype=dtype)

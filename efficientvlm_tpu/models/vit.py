@@ -199,14 +199,21 @@ def vit_apply(
         impl == "fused"
         and cfg["vision_width"] % 128 == 0
         and "kernel" in params["patch_embed"]
+        # the kernel's patch reshape needs exact tiling; the XLA VALID conv
+        # tolerates (truncates) a remainder — fall back rather than crash
+        and images.shape[1] % cfg["patch_size"] == 0
+        and images.shape[2] % cfg["patch_size"] == 0
     )
     if use_fused_embed:
         from ..ops.pallas_patch_embed import fused_patch_embed
 
+        # dtype=None matches the XLA branch's promotion semantics (bf16
+        # images x f32 params compute/return f32, not images.dtype)
         h = fused_patch_embed(
             params, images, patch_size=cfg["patch_size"],
             vision_width=cfg["vision_width"],
-            dtype=dtype if dtype is not None else images.dtype)
+            dtype=dtype if dtype is not None else jnp.result_type(
+                images.dtype, params["patch_embed"]["kernel"].dtype))
         b = h.shape[0]
     else:
         patches = jax.lax.conv_general_dilated(

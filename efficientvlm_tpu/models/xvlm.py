@@ -182,15 +182,18 @@ class XVLM:
 
     def get_cross_embeds(
         self, params, image_embeds, image_atts, *, text_embeds, text_atts, zs=None,
-        output_attentions=False, output_hidden_states=False, train=False, rng=None,
-        dtype=None, impl="xla",
+        encoder_groups=1, output_attentions=False, output_hidden_states=False,
+        train=False, rng=None, dtype=None, impl="xla",
     ):
-        """mode='fusion' (reference models/xvlm.py:378-424)."""
+        """mode='fusion' (reference models/xvlm.py:378-424). encoder_groups
+        > 1 declares image rows shared by groups of contiguous text rows
+        (grouped-K/V attention, e.g. the k_test-tiled i2t rerank)."""
         _, tz = split_zs(zs)
         return B.bert_apply(
             params["text"], None, self.text_cfg, inputs_embeds=text_embeds,
             attention_mask=text_atts, encoder_hidden=image_embeds,
             encoder_attention_mask=image_atts, mode="fusion",
+            encoder_groups=encoder_groups,
             output_attentions=output_attentions, output_hidden_states=output_hidden_states,
             train=train, rng=rng, dtype=dtype, impl=impl,
             cross_head_z=tz.get("cross_head_z"), cross_mlp_z=tz.get("cross_mlp_z"),

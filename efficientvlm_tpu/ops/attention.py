@@ -91,6 +91,7 @@ def multi_head_attention(
     dtype=None,
     cache: Optional[dict] = None,
     precomputed_kv: Optional[dict] = None,
+    kv_groups: int = 1,
     impl: str = "xla",
 ):
     """Returns (attn_output [B,Tq,D], probs [B,H,Tq,Tk] or None, new_cache).
@@ -107,13 +108,16 @@ def multi_head_attention(
     — without this, every decode step repays two [S,W]x[W,W] dots per cross
     layer). Mutually exclusive with `cache`.
 
-    Grouped K/V: `Bk` may DIVIDE the query batch `Bq` (rows grouped
-    contiguously, i.e. produced by `jnp.repeat(x, G, axis=0)`): every group
-    of G = Bq//Bk query rows attends to ONE shared K/V — beam-expanded
-    decode (all beams of an image share its image tokens) and k-tiled
-    answer ranking never materialize or re-read repeated K/V. At caption
-    decode shapes (64 img x 3 beams x 577 keys) the repeated cross K/V is
-    ~1 GB of HBM reads per decode step; sharing cuts it 3x.
+    kv_groups=G > 1 declares grouped K/V: the K/V batch `Bk` is 1/G of the
+    query batch `Bq` (query rows grouped CONTIGUOUSLY, i.e. the layout
+    `jnp.repeat(x, G, axis=0)` would produce): every group of G = Bq//Bk
+    query rows attends to ONE shared K/V — beam-expanded decode (all beams
+    of an image share its image tokens) and k-tiled answer ranking never
+    materialize or re-read repeated K/V. At caption decode shapes (64 img
+    x 3 beams x 577 keys) the repeated cross K/V is ~1 GB of HBM reads per
+    decode step; sharing cuts it 3x. The flag is EXPLICIT so an accidental
+    batch mismatch stays a loud shape error rather than silently pairing
+    query row q with kv row q//G.
     """
     self_attn = x_kv is None
     if self_attn:
@@ -125,19 +129,28 @@ def multi_head_attention(
     else:
         k = _split_heads(dense(params["k"], x_kv, dtype=dtype), num_heads)
         v = _split_heads(dense(params["v"], x_kv, dtype=dtype), num_heads)
-    if k.shape[0] != q.shape[0]:
+    if kv_groups > 1:
         # Cross-attention with a SHARED source: x_kv/precomputed_kv rows
         # divide the query rows (beam-expanded decode, k_test-tiled rerank
         # and answer scoring). Projecting from the unexpanded source and
         # broadcasting here skips (G-1)/G of the K/V projection FLOPs — in
         # the retrieval i2t rerank the cross K/V projections over the
         # repeated image rows are ~2/3 of the fusion-stack FLOPs.
+        if k.shape[0] * kv_groups != q.shape[0]:
+            raise ValueError(
+                f"kv_groups={kv_groups}: query batch {q.shape[0]} != "
+                f"{kv_groups} * kv batch {k.shape[0]}")
         out, probs = _grouped_kv_attention(
             params, q, k, v, bias=bias, head_z=head_z,
             head_layer_z=head_layer_z, output_probs=output_probs,
             dropout_rate=dropout_rate, rng=rng, train=train, dtype=dtype,
         )
         return out, probs, cache
+    if k.shape[0] != q.shape[0]:
+        raise ValueError(
+            f"query batch {q.shape[0]} != kv batch {k.shape[0]} — pass "
+            f"kv_groups={q.shape[0] // max(k.shape[0], 1)} if the kv rows "
+            f"are intentionally shared across contiguous query groups")
 
     new_cache = cache
     if cache is not None:

@@ -80,7 +80,16 @@ class DynamicBatcher:
         self._finish = finish_batch
         self.max_batch_size = int(max_batch_size)
         self.max_wait_ms = float(max_wait_ms)
-        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        # request queue: deque + Condition (not queue.Queue) so the dispatch
+        # thread can BLOCK on "a request arrived OR the pipeline freed"
+        # instead of polling — on the 1-core host a 2ms poll loop steals GIL
+        # time from the HTTP decode threads (CLAUDE.md serving variance)
+        self._rq: deque = deque()
+        self._cv = threading.Condition()
+        # held across every device dispatch; external device work (bucket
+        # warmup) takes it too so two threads never compile/dispatch through
+        # the TPU tunnel concurrently (CLAUDE.md: concurrent compiles stall)
+        self.dispatch_lock = threading.Lock()
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self.requests = 0
@@ -110,7 +119,9 @@ class DynamicBatcher:
         if self._stop.is_set():
             raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        self._q.put((item, fut, time.monotonic()))
+        with self._cv:
+            self._rq.append((item, fut, time.monotonic()))
+            self._cv.notify_all()
         return fut
 
     @staticmethod
@@ -157,15 +168,17 @@ class DynamicBatcher:
 
     def _drain_failed(self) -> None:
         while True:
-            try:
-                _, fut, _ = self._q.get_nowait()
-            except queue.Empty:
-                return
+            with self._cv:
+                if not self._rq:
+                    return
+                _, fut, _ = self._rq.popleft()
             if not fut.done():
                 fut.set_exception(RuntimeError("batcher closed"))
 
     def close(self) -> None:
         self._stop.set()
+        with self._cv:
+            self._cv.notify_all()  # wake a blocked dispatch thread
         self._thread.join(timeout=30)
         if self._finisher is not None:
             self._finisher.join(timeout=30)
@@ -178,19 +191,23 @@ class DynamicBatcher:
     def _collect(self, first) -> list:
         """Coalesce requests: up to max_batch_size, waiting max_wait_ms past
         the first arrival — except while the pipeline is full, where we keep
-        draining (device busy = free coalescing time)."""
+        draining (device busy = free coalescing time). Blocks on the
+        condition (woken by submit() and by the finisher freeing the
+        pipeline slot) — never polls."""
         batch = [first]
         deadline = time.monotonic() + self.max_wait_ms / 1e3
-        while len(batch) < self.max_batch_size and not self._stop.is_set():
-            busy = self._pending is not None and self._pending.full()
-            left = deadline - time.monotonic()
-            if left <= 0 and not busy:
-                break
-            try:
-                batch.append(self._q.get(timeout=left if (left > 0 and not busy) else 0.002))
-            except queue.Empty:
-                if not busy:
+        with self._cv:
+            while len(batch) < self.max_batch_size and not self._stop.is_set():
+                while self._rq and len(batch) < self.max_batch_size:
+                    batch.append(self._rq.popleft())
+                if len(batch) >= self.max_batch_size:
                     break
+                busy = self._pending is not None and self._pending.full()
+                left = deadline - time.monotonic()
+                if left <= 0 and not busy:
+                    break
+                # wake on: new request, pipeline slot freed, or deadline
+                self._cv.wait(timeout=left if left > 0 else None)
         return batch
 
     def _fail_batch(self, batch, exc) -> None:
@@ -213,15 +230,19 @@ class DynamicBatcher:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            with self._cv:
+                if not self._rq:
+                    # 0.5s backstop only (close() notifies the condition)
+                    self._cv.wait(timeout=0.5)
+                if not self._rq:
+                    continue
+                first = self._rq.popleft()
             batch = self._collect(first)
             items = [b[0] for b in batch]
             t0 = time.monotonic()
             try:
-                out = self._run(items)
+                with self.dispatch_lock:
+                    out = self._run(items)
             except Exception as e:  # noqa: BLE001 — propagate to callers
                 self._fail_batch(batch, e)
                 # failed batches still count (an erroring endpoint must not
@@ -253,6 +274,10 @@ class DynamicBatcher:
     def _finish_loop(self) -> None:
         while True:
             entry = self._pending.get()
+            with self._cv:
+                # pipeline slot freed: wake a dispatch thread blocked in
+                # _collect's busy-drain so it stops coalescing and dispatches
+                self._cv.notify_all()
             if entry is None:
                 return
             handle, batch, items, t0, dispatch_ms = entry

@@ -217,7 +217,10 @@ class InferenceService:
         pad_to_bucket(up_to): a live endpoint must never pay a cold compile
         on a request thread. (Firing concurrent HTTP warmup requests is
         racy — coalescing is timing-dependent, so a bucket can stay cold
-        and ambush the p95 later.)"""
+        and ambush the p95 later.) Each bucket runs under the batcher's
+        dispatch lock: warming a LIVE endpoint must not compile/dispatch
+        concurrently with the dispatch thread — two processes compiling
+        through the TPU tunnel at once stall each other (CLAUDE.md)."""
         res = int(self.config.get("image_res", 384))
         dummy = {"image": np.zeros((res, res, 3), np.uint8)}
         if self.task == "vqa":
@@ -226,7 +229,12 @@ class InferenceService:
         b = 1
         while b <= top:
             items = [dummy] * b
-            self._finish_batch(self._dispatch_batch(items), items)
+            with self._batcher.dispatch_lock:
+                handle = self._dispatch_batch(items)
+            # result fetch needs no lock (no compile; the tunnel serializes
+            # execution) — holding it through the fetch would stall real
+            # batches behind warmup for whole device-step times
+            self._finish_batch(handle, items)
             b *= 2
 
 

@@ -63,6 +63,36 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2, pipelined: bo
     }
 
 
+def timed_runs(fn: Callable, args: tuple, *, iters: int = 10, runs: int = 3,
+               warmups: int = 3) -> list:
+    """Seconds-per-call for `runs` independent pipelined timing loops
+    (each: dispatch `iters` back-to-back calls, host-fetch ONE sync at the
+    end). THE timing recipe for this environment, shared by bench.py and the
+    scripts/bench_*_probe.py family so a fix to the tunnel gotchas lands
+    everywhere at once: >=3 warm calls (first 1-2 executions after compile
+    pay 28-37s of lazy buffer upload), sync via force_sync (host fetch — on
+    the tunneled backend block_until_ready returns early), median-of-runs
+    (tunnel throughput varies ~10% run to run)."""
+    out = None
+    for _ in range(warmups):
+        out = fn(*args)
+    force_sync(out)
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        force_sync(outs[-1])
+        ts.append((time.perf_counter() - t0) / iters)
+    return ts
+
+
+def median_time(fn: Callable, args: tuple, *, iters: int = 10, runs: int = 3,
+                warmups: int = 3) -> float:
+    """Median seconds per call over `timed_runs` (see there for the recipe)."""
+    return float(np.median(timed_runs(fn, args, iters=iters, runs=runs,
+                                      warmups=warmups)))
+
+
 def flops_of(fn: Callable, *args) -> Optional[float]:
     """XLA cost-analysis FLOP estimate of a jitted fn."""
     try:

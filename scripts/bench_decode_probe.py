@@ -22,7 +22,6 @@ program + one step program). Run:
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -35,21 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sync(x):
-    np.asarray(jax.tree.leaves(x)[-1])
+from efficientvlm_tpu.train.profiler import median_time
 
 
 def _time(fn, *args, iters=8):
-    out = fn(*args)
-    _sync(out)
-    _sync(fn(*args))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        _sync(outs[-1])
-        ts.append((time.perf_counter() - t0) / iters)
-    return float(np.median(ts))
+    # shared tunnel-safe timing recipe (train/profiler.py)
+    return median_time(fn, args, iters=iters)
 
 
 def main(batch=64, beams=3, image_res=384):

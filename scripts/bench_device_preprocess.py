@@ -15,7 +15,6 @@ naive per-dispatch timing is fetch-dominated — see bench_int8_probe).
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -31,17 +30,10 @@ from efficientvlm_tpu.data.device_pipeline import preprocess_eval, preprocess_tr
 
 
 def timeit(fn, *args, iters=10, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
-        runs.append((time.perf_counter() - t0) / iters * 1e3)
-    return sorted(runs)[1]
+    # shared tunnel-safe timing recipe (train/profiler.py); ms per call
+    from efficientvlm_tpu.train.profiler import median_time
+
+    return median_time(fn, args, iters=iters, warmups=warmup) * 1e3
 
 
 def main(batch=16, src=258, out_res=224):

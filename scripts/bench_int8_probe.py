@@ -24,7 +24,6 @@ import json
 import os
 import re
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -47,17 +46,11 @@ def force_sync(x):
 def timeit(fn, *args, iters=10, warmup=3):
     """Every case returns a SCALAR (fetch ~8 bytes, not the matrix) and
     chains N_CHAIN dependent dots on-device, so tunnel dispatch/download
-    overhead is amortized to noise. Reported ms is per single dot."""
-    for _ in range(warmup):
-        force_sync(fn(*args))
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        force_sync(out)
-        runs.append((time.perf_counter() - t0) / (iters * N_CHAIN) * 1e3)
-    return sorted(runs)[1]  # median of 3
+    overhead is amortized to noise. Reported ms is per single dot. Timing
+    core shared with bench.py (train/profiler.py median_time)."""
+    from efficientvlm_tpu.train.profiler import median_time
+
+    return median_time(fn, args, iters=iters, warmups=warmup) / N_CHAIN * 1e3
 
 
 def dot_lines(compiled_text, n=6):

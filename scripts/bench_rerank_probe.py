@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bench import build, _cast_bf16
-from efficientvlm_tpu.models.xvlm import mlp_head_apply
+from efficientvlm_tpu.evaluation.retrieval import itm_rerank_scores
 
 
 def main(image_res=384, k=256, rows=4, txt_len=40, iters=8):
@@ -39,13 +39,9 @@ def main(image_res=384, k=256, rows=4, txt_len=40, iters=8):
     ab = jnp.ones((k, txt_len), jnp.int32)
 
     def scores(p, img_rows, txt_rows, att_rows):
-        img_atts = jnp.ones(img_rows.shape[:2], jnp.int32)
-        out = model.get_cross_embeds(
-            p, img_rows, img_atts, text_embeds=txt_rows, text_atts=att_rows,
-            dtype=dtype, impl="fused",
-        )
-        logits = mlp_head_apply(p["itm_head"], out["last_hidden"][:, 0], dtype=dtype)
-        return logits[:, 1].reshape(rows, k)
+        # the shared eval-rerank chunk program (evaluation/retrieval.py)
+        return itm_rerank_scores(model, p, img_rows, txt_rows, att_rows,
+                                 rows, k, dtype=dtype, impl="fused")
 
     @jax.jit
     def grouped(p, ib, tb, ab):

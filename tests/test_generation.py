@@ -200,13 +200,23 @@ def test_grouped_kv_attention_matches_repeated():
 
     grouped, gp, _ = multi_head_attention(
         params, xq, enc[:1] * 0,  # x_kv unused with precomputed_kv
-        num_heads=heads, precomputed_kv=kv, bias=bias, head_z=head_z,
-        output_probs=True)
+        num_heads=heads, precomputed_kv=kv, kv_groups=g, bias=bias,
+        head_z=head_z, output_probs=True)
     ref, rp, _ = multi_head_attention(
         params, xq, None, num_heads=heads, precomputed_kv=kv_rep,
         bias=bias_rep, head_z=head_z, output_probs=True)
     np.testing.assert_allclose(np.asarray(grouped), np.asarray(ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(rp), rtol=2e-5, atol=2e-5)
+
+    # an UNDECLARED batch mismatch must stay a loud error (a silent q->q//G
+    # pairing for an accidental divisible mismatch is garbage output)
+    import pytest
+    with pytest.raises((ValueError, TypeError)):
+        multi_head_attention(params, xq, None, num_heads=heads,
+                             precomputed_kv=kv, bias=bias)
+    with pytest.raises((ValueError, TypeError)):
+        multi_head_attention(params, xq, None, num_heads=heads,
+                             precomputed_kv=kv, kv_groups=g + 1, bias=bias)
 
 
 def test_beam_grouped_kv_matches_expanded(decoder_setup):

@@ -100,15 +100,16 @@ def test_scan_fusion_grouped_kv_matches_expanded():
     enc_atts_rep = jnp.repeat(enc_atts, k, axis=0)
 
     outs = {}
-    for name, cfg, e, ea in [
-        ("scan_grouped", cfg_s, enc, enc_atts),
-        ("unrolled_grouped", cfg_u, enc, enc_atts),
-        ("scan_expanded", cfg_s, enc_rep, enc_atts_rep),
-        ("unrolled_expanded", cfg_u, enc_rep, enc_atts_rep),
+    for name, cfg, e, ea, g in [
+        ("scan_grouped", cfg_s, enc, enc_atts, k),
+        ("unrolled_grouped", cfg_u, enc, enc_atts, k),
+        ("scan_expanded", cfg_s, enc_rep, enc_atts_rep, 1),
+        ("unrolled_expanded", cfg_u, enc_rep, enc_atts_rep, 1),
     ]:
         outs[name] = np.asarray(B.bert_apply(
             params, None, cfg, inputs_embeds=txt, attention_mask=atts,
             encoder_hidden=e, encoder_attention_mask=ea, mode="fusion",
+            encoder_groups=g,
         )["last_hidden"])
     for name in ("unrolled_grouped", "scan_expanded", "unrolled_expanded"):
         np.testing.assert_allclose(outs["scan_grouped"], outs[name], atol=2e-5,
