@@ -112,6 +112,65 @@ def test_batcher_pipelined_overlap_and_stage_stats():
         b.close()
 
 
+def test_batcher_busy_drain_coalesces_past_deadline():
+    """While the pipeline slot is full the dispatch thread must keep
+    draining PAST max_wait_ms (device busy = free coalescing time): requests
+    arriving slower than max_wait_ms still coalesce into one batch. Pins the
+    condition-wait rewrite (no 2ms polling) to the original semantics."""
+    release = threading.Event()
+    batches = []
+
+    def dispatch(items):
+        batches.append(list(items))
+        return list(items)
+
+    def finish(handle, items):
+        release.wait(10)  # hold the finisher: pipeline slot stays full
+        return handle
+
+    b = DynamicBatcher(dispatch, finish_batch=finish,
+                       max_batch_size=8, max_wait_ms=5)
+    try:
+        futs = [b.submit(0)]          # batch 1 -> finisher (blocked)
+        time.sleep(0.1)
+        futs.append(b.submit(1))      # batch 2 -> fills the pending slot
+        time.sleep(0.1)
+        # trickle spaced 10x past max_wait_ms: must still coalesce
+        for i in range(2, 6):
+            futs.append(b.submit(i))
+            time.sleep(0.05)
+        release.set()
+        assert [f.result(timeout=10) for f in futs] == list(range(6))
+        assert any(len(bt) >= 4 for bt in batches), batches
+    finally:
+        release.set()
+        b.close()
+
+
+def test_batcher_dispatch_lock_serializes_external_device_work():
+    """warmup_buckets on a live endpoint takes batcher.dispatch_lock around
+    its direct dispatch; the batcher must honor the same lock so the two
+    never compile/dispatch concurrently through the TPU tunnel."""
+    def run(items):
+        return list(items)
+
+    b = DynamicBatcher(run, max_batch_size=4, max_wait_ms=2)
+    try:
+        with b.dispatch_lock:  # simulate an in-progress warmup dispatch
+            fut = b.submit("x")
+            done, _ = _wait_futures([fut], timeout=0.3)
+            assert not done, "dispatch ran while the lock was held"
+        assert fut.result(timeout=10) == "x"
+    finally:
+        b.close()
+
+
+def _wait_futures(futs, timeout):
+    import concurrent.futures as cf
+
+    return cf.wait(futs, timeout=timeout)
+
+
 def test_batcher_pipelined_propagates_finish_exception():
     def dispatch(items):
         return items
