@@ -196,6 +196,60 @@ def test_base_geometry_forward_and_remap_accounting():
 
 
 @pytest.mark.slow
+def test_base_geometry_swin_forward_and_remap_accounting():
+    """Swin-B at the reference's real operating point — 224px, patch 4,
+    embed 128, depths [2,2,18,2], heads [4,8,16,32], window 7 (reference
+    models/xvlm.py:133-163 SwinTransformer build) — one batch-1 forward
+    through swin_params_from_state_dict vs the reference torch module.
+    The toy differential (test_reference_differential.py, embed 16 /
+    2 stages / window 4) proves the math; this proves the remap at full
+    geometry, where a stage-indexing or head-count bug invisible at 2
+    heads would silently destroy quality. Plus per-tensor accounting:
+    every checkpoint tensor is consumed exactly once (buffers
+    relative_position_index / attn_mask are dropped by design, as the
+    reference drops them at load, models/xvlm.py:160-163)."""
+    import torch
+
+    from test_reference_differential import _stub_timm
+
+    from efficientvlm_tpu.models.swin import swin_apply, swin_config
+    from efficientvlm_tpu.train import checkpoint as C
+
+    _stub_timm()
+    ref_swin = _load_ref("ref_swin_base", "swin_transformer.py")
+    torch.manual_seed(4)
+    depths, heads, window = [2, 2, 18, 2], [4, 8, 16, 32], 7
+    ref = ref_swin.SwinTransformer(
+        img_size=224, patch_size=4, embed_dim=128, depths=depths,
+        num_heads=heads, window_size=window, mlp_ratio=4.0,
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0, num_classes=0,
+    ).eval()
+
+    sd = _sd_numpy(ref)
+    params = C.swin_params_from_state_dict(sd, depths=depths, window_size=window)
+
+    # ---- per-tensor accounting ----
+    dropped = [k for k in sd
+               if "relative_position_index" in k or "attn_mask" in k]
+    consumable = {k: v for k, v in sd.items() if k not in dropped}
+    assert _n_scalars(params) == int(sum(v.size for v in consumable.values()))
+    # same window size => the rel-bias interpolation is identity; every
+    # remap op (transpose/identity) preserves |x| mass
+    np.testing.assert_allclose(
+        _abs_sum(params), _abs_sum(list(consumable.values())), rtol=1e-6)
+
+    cfg = swin_config(image_res=224, patch_size=4, embed_dim=128,
+                      depths=depths, num_heads=heads, window_size=window,
+                      mlp_ratio=4.0)
+    x = (np.random.RandomState(12).randn(1, 3, 224, 224) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(swin_apply(
+        params, np.transpose(x, (0, 2, 3, 1)), cfg)["last_hidden"])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_base_geometry_cached_decoder_parity():
     """The serving hot loop at the real operating point: BertLMHeadModel as
     a cached causal decoder at 12L/768/12H with fusion_layer 6 (the
