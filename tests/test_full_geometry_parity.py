@@ -250,6 +250,50 @@ def test_base_geometry_swin_forward_and_remap_accounting():
 
 
 @pytest.mark.slow
+def test_base_geometry_deit_forward_and_remap_accounting():
+    """DeiT-base at the reference's operating point — 224px, patch 16,
+    12L/768/12H (reference models/xvlm.py:164-178 VisionTransformer) —
+    one batch-1 forward through deit_params_from_state_dict, whose fused
+    [3D, D] qkv SPLIT is exactly where a head-ordering bug would hide at
+    12 heads while passing the 4-head toy differential. Plus per-tensor
+    accounting (head.* absent with num_classes=0; every tensor consumed)."""
+    import torch
+
+    from test_reference_differential import _stub_timm
+
+    from efficientvlm_tpu.config import VisionConfig
+    from efficientvlm_tpu.models.deit import deit_apply
+    from efficientvlm_tpu.train import checkpoint as C
+
+    _stub_timm()
+    ref_vit = _load_ref("ref_deit_base", "vit.py")
+    torch.manual_seed(6)
+    ref = ref_vit.VisionTransformer(
+        img_size=IMG_RES, patch_size=PATCH, embed_dim=WIDTH, depth=LAYERS,
+        num_heads=HEADS, mlp_ratio=4.0, drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.0,
+    ).eval()
+
+    sd = _sd_numpy(ref)
+    cfg = VisionConfig.create(
+        vision_width=WIDTH, num_attention_heads=HEADS, intermediate_size=INTER,
+        num_hidden_layers=LAYERS, image_res=IMG_RES, patch_size=PATCH,
+    )
+    params = C.deit_params_from_state_dict(sd, LAYERS, num_patches=cfg.num_patches)
+    assert _n_scalars(params) == int(sum(v.size for v in sd.values()))
+    np.testing.assert_allclose(_abs_sum(params), _abs_sum(list(sd.values())),
+                               rtol=1e-6)
+
+    x = (np.random.RandomState(13).randn(1, 3, IMG_RES, IMG_RES) * 0.5
+         ).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(deit_apply(
+        params, np.transpose(x, (0, 2, 3, 1)), cfg)["last_hidden"])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_base_geometry_cached_decoder_parity():
     """The serving hot loop at the real operating point: BertLMHeadModel as
     a cached causal decoder at 12L/768/12H with fusion_layer 6 (the
