@@ -74,12 +74,19 @@ class DynamicBatcher:
         finish_batch: Optional[Callable[[object, List], List]] = None,
         max_batch_size: int = 16,
         max_wait_ms: float = 10.0,
+        max_backlog: Optional[int] = None,
         name: str = "batcher",
     ):
         self._run = run_batch
         self._finish = finish_batch
         self.max_batch_size = int(max_batch_size)
         self.max_wait_ms = float(max_wait_ms)
+        # backlog cap: if the device wedges (hung tunnel fetch is a known
+        # failure mode), submits fail LOUDLY once the queue hits the cap
+        # instead of growing without bound while every client blocks out
+        # its full timeout (advisor r4)
+        self.max_backlog = (64 * self.max_batch_size if max_backlog is None
+                            else int(max_backlog))
         # request queue: deque + Condition (not queue.Queue) so the dispatch
         # thread can BLOCK on "a request arrived OR the pipeline freed"
         # instead of polling — on the 1-core host a 2ms poll loop steals GIL
@@ -102,6 +109,12 @@ class DynamicBatcher:
         self.queue_wait_ms = deque(maxlen=2000)  # submit -> dispatch start
         self.dispatch_ms = deque(maxlen=500)  # per batch: upload + launch
         self.finish_ms = deque(maxlen=500)  # per batch: result wait + postproc
+        # union of per-batch [dispatch_start, finish_end] spans since the
+        # last reset — busy/wall is the device-utilization figure the bench
+        # reports (spans include host postprocess; a slight overcount)
+        self.device_busy_s = 0.0
+        self._busy_until = 0.0
+        self._t_reset = time.monotonic()
         # pipelined mode: one batch may sit here fully dispatched while the
         # next is being collected/uploaded — depth 1 keeps device-queue
         # latency bounded at ~2 batches
@@ -120,6 +133,10 @@ class DynamicBatcher:
             raise RuntimeError("batcher is closed")
         fut: Future = Future()
         with self._cv:
+            if len(self._rq) >= self.max_backlog:
+                raise RuntimeError(
+                    f"batcher overloaded: {len(self._rq)} queued requests "
+                    f"(cap {self.max_backlog}) — device wedged or undersized")
             self._rq.append((item, fut, time.monotonic()))
             self._cv.notify_all()
         return fut
@@ -153,6 +170,8 @@ class DynamicBatcher:
                 "queue_wait_p95_ms": qw["p95"],
                 "dispatch_mean_ms": disp["mean"],
                 "finish_mean_ms": fin["mean"],
+                "device_busy_s": self.device_busy_s,
+                "window_s": time.monotonic() - self._t_reset,
             }
 
     def reset_stats(self) -> None:
@@ -165,6 +184,9 @@ class DynamicBatcher:
             self.queue_wait_ms.clear()
             self.dispatch_ms.clear()
             self.finish_ms.clear()
+            self.device_busy_s = 0.0
+            self._busy_until = 0.0
+            self._t_reset = time.monotonic()
 
     def _drain_failed(self) -> None:
         while True:
@@ -227,6 +249,12 @@ class DynamicBatcher:
             self.queue_wait_ms.extend((t_dispatch0 - t0) * 1e3 for _, _, t0 in batch)
             self.dispatch_ms.append(dispatch_ms)
             self.finish_ms.append(finish_ms)
+            # merge [t_dispatch0, now] into the busy-span union (pipeline
+            # depth 1 means at most one overlapping predecessor)
+            start = max(t_dispatch0, self._busy_until)
+            if now > start:
+                self.device_busy_s += now - start
+                self._busy_until = now
 
     def _loop(self) -> None:
         while not self._stop.is_set():

@@ -128,7 +128,14 @@ def phase_teacher_fwd(batch=16, image_res=224, iters=8, impl="xla", probs=True):
     import numpy as np
 
     _, teacher, tparams, _, _, _, batch_data = _models(batch, image_res, need_student=False)
-    fwd = jax.jit(_teacher_fwd_fn(teacher, impl=impl, probs=probs))
+    # AOT compile so XLA cost analysis supplies the program's FLOPs — the
+    # official bench derives kd_step_mfu from the two split programs
+    fwd = jax.jit(_teacher_fwd_fn(teacher, impl=impl, probs=probs)).lower(
+        tparams, batch_data, jax.random.PRNGKey(5)).compile()
+    try:
+        flops = float(fwd.cost_analysis().get("flops", 0.0))
+    except Exception:
+        flops = 0.0
     for w in range(2):
         out = fwd(tparams, batch_data, jax.random.PRNGKey(5 + w))
         np.asarray(out["logits_dict"]["itm_head_logits"])  # host-fetch sync
@@ -138,7 +145,7 @@ def phase_teacher_fwd(batch=16, image_res=224, iters=8, impl="xla", probs=True):
     np.asarray(out["logits_dict"]["itm_head_logits"])
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({"phase": "teacher_fwd", "ms": round(dt * 1e3, 2),
-                      "impl": impl, "probs": probs}))
+                      "flops": flops, "impl": impl, "probs": probs}))
 
 
 def phase_student_update(batch=16, image_res=224, iters=8, impl="xla"):
@@ -171,12 +178,20 @@ def phase_student_update(batch=16, image_res=224, iters=8, impl="xla"):
         loss = (kd["loss_kd"] + s_out["loss"]["loss_itc"] + s_out["loss"]["loss_itm"]) * 0.5 + lag
         return loss, loss
 
-    @jax.jit
-    def student_update(state: TrainState, batch, t_out, rng):
+    def _student_update(state: TrainState, batch, t_out, rng):
         (_, loss), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
             state.params, state.loga, state.lam, batch, t_out, rng, state.step
         )
         return apply_updates_3way(state, grads, opts), loss
+
+    # AOT compile: cost analysis gives the fwd+bwd+update FLOPs for the
+    # official kd_step_mfu
+    student_update = jax.jit(_student_update).lower(
+        state, batch_data, teacher_outputs, jax.random.PRNGKey(7)).compile()
+    try:
+        flops = float(student_update.cost_analysis().get("flops", 0.0))
+    except Exception:
+        flops = 0.0
 
     # 3 warmup calls: the first iterations also pay the lazy upload of the
     # ~0.6GB teacher-output tree + param state through the tunnel (measured
@@ -189,7 +204,8 @@ def phase_student_update(batch=16, image_res=224, iters=8, impl="xla"):
         state, loss = student_update(state, batch_data, teacher_outputs, jax.random.PRNGKey(20 + i))
     np.asarray(loss)
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({"phase": "student_update", "ms": round(dt * 1e3, 2)}))
+    print(json.dumps({"phase": "student_update", "ms": round(dt * 1e3, 2),
+                      "flops": flops}))
 
 
 def main(batch=16, image_res=224, impl="xla"):
@@ -215,17 +231,28 @@ def main(batch=16, image_res=224, impl="xla"):
                 continue
         if got is None:
             raise RuntimeError(f"{phase}: {out.stdout[-300:]} {out.stderr[-300:]}")
-        total[phase] = got["ms"]
+        total[phase] = got
+    ms = total["teacher_fwd"]["ms"] + total["student_update"]["ms"]
+    flops = total["teacher_fwd"].get("flops", 0) + total["student_update"].get("flops", 0)
+    # v5e bf16 peak 197 TFLOP/s (same constant as bench.py PEAK_TFLOPS)
+    mfu = flops / (ms / 1e3) / 197e12 if flops else None
     print(json.dumps({
         "metric": "kd_train_step_time",
-        "value": round(total["teacher_fwd"] + total["student_update"], 2),
+        "value": round(ms, 2),
         "unit": "ms",
         "batch": batch,
         "image_res": image_res,
         "impl": impl,
-        "teacher_fwd_ms": total["teacher_fwd"],
-        "student_update_ms": total["student_update"],
-        "pairs_per_sec": round(batch / ((total["teacher_fwd"] + total["student_update"]) / 1e3), 1),
+        "teacher_fwd_ms": total["teacher_fwd"]["ms"],
+        "student_update_ms": total["student_update"]["ms"],
+        "teacher_fwd_mfu": (round(total["teacher_fwd"]["flops"]
+                            / (total["teacher_fwd"]["ms"] / 1e3) / 197e12, 4)
+                            if total["teacher_fwd"].get("flops") else None),
+        "student_update_mfu": (round(total["student_update"]["flops"]
+                               / (total["student_update"]["ms"] / 1e3) / 197e12, 4)
+                               if total["student_update"].get("flops") else None),
+        "mfu": round(mfu, 4) if mfu else None,
+        "pairs_per_sec": round(batch / (ms / 1e3), 1),
     }))
 
 
