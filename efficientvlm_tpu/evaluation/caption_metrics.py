@@ -235,8 +235,9 @@ def _porter_stem(w: str) -> str:
 # java METEOR 1.5 (reference refTools/evaluation/meteor/meteor.py drives
 # meteor-1.5.jar) matches words that share a WordNet synset. WordNet data is
 # not installable here (zero egress), so the synonym stage runs on a
-# vendored compact table of common caption/VQA-domain synonym groups, and
-# upgrades itself to real WordNet synsets when the nltk corpus is present.
+# vendored compact table of common caption/VQA-domain synonym groups by
+# DEFAULT (deterministic provenance — ADVICE r4); real WordNet synsets are
+# an explicit opt-in via meteor(synonym_source="wordnet").
 _SYNONYM_GROUPS = [
     ("picture", "photo", "photograph", "image", "snapshot"),
     ("big", "large", "huge", "enormous", "giant"),
@@ -432,6 +433,56 @@ for _gid, _group in enumerate(_SYNONYM_GROUPS):
     for _w in _group:
         _SYN_IDS.setdefault(_w, set()).add(_gid)
 
+# -- paraphrase matcher (METEOR stage 4) -------------------------------------
+# java METEOR 1.5's final matcher stage aligns multi-word PHRASES through a
+# paraphrase table (data/paraphrase-en.gz, derived from bilingual phrase
+# tables). That table is ~50MB and not installable here (zero egress); this
+# is a compact vendored equivalent covering common caption-domain phrase
+# equivalences, wired through the same stage interface so the matcher order
+# (exact -> stem -> synonym -> paraphrase) matches METEOR 1.5 exactly.
+# Entries are tuples of space-joined token phrases (1-4 words) that may
+# align with each other when the underlying token spans are still unmatched.
+_PARAPHRASE_GROUPS = [
+    ("in front of", "before", "ahead of"),
+    ("next to", "beside", "alongside", "adjacent to"),
+    ("close to", "near", "nearby"),
+    ("on top of", "atop", "above"),
+    ("a lot of", "lots of", "many", "plenty of"),
+    ("a couple of", "a few", "several"),
+    ("a group of", "a bunch of", "a crowd of"),
+    ("a number of", "numerous"),
+    ("in the middle of", "in the center of", "amid"),
+    ("each other", "one another"),
+    ("right now", "currently", "at the moment"),
+    ("get on", "board", "climb onto"),
+    ("get off", "exit", "climb off"),
+    ("looking at", "watching", "gazing at"),
+    ("sitting on", "seated on", "perched on"),
+    ("standing next to", "standing beside"),
+    ("young man", "boy", "young male"),
+    ("young woman", "girl", "young female"),
+    ("young child", "little kid", "small child"),
+    ("cell phone", "mobile phone", "cellphone"),
+    ("television set", "tv", "television"),
+    ("fire hydrant", "hydrant"),
+    ("stop sign", "stop signal"),
+    ("parking lot", "car park"),
+    ("living room", "lounge", "sitting room"),
+    ("hot dog", "hotdog", "frankfurter"),
+    ("teddy bear", "stuffed bear", "stuffed animal"),
+    ("next to the", "beside the"),
+    ("is able to", "can"),
+    ("in order to", "to"),
+    ("a man and a woman", "a couple"),
+    ("riding on", "riding atop", "astride"),
+]
+_PARA_IDS: Dict[str, set] = {}
+_PARA_MAX_LEN = 1
+for _gid, _group in enumerate(_PARAPHRASE_GROUPS):
+    for _p in _group:
+        _PARA_IDS.setdefault(_p, set()).add(_gid)
+        _PARA_MAX_LEN = max(_PARA_MAX_LEN, len(_p.split()))
+
 _WORDNET = None
 _WORDNET_TRIED = False
 
@@ -455,8 +506,8 @@ def _wordnet_or_none():
 _WN_CACHE: Dict[str, frozenset] = {}
 
 
-def _synset_ids(word: str) -> frozenset:
-    wn = _wordnet_or_none()
+def _synset_ids(word: str, use_wordnet: bool = False) -> frozenset:
+    wn = _wordnet_or_none() if use_wordnet else None
     if wn is None:
         return frozenset(_SYN_IDS.get(word, ()))
     got = _WN_CACHE.get(word)
@@ -466,20 +517,28 @@ def _synset_ids(word: str) -> frozenset:
     return got
 
 
-def _is_synonym(a: str, b: str) -> bool:
+def _is_synonym(a: str, b: str, use_wordnet: bool = False) -> bool:
     if a == b:
         return False  # exact stage already handled identity
-    sa = _synset_ids(a)
-    return bool(sa) and not sa.isdisjoint(_synset_ids(b))
+    sa = _synset_ids(a, use_wordnet)
+    return bool(sa) and not sa.isdisjoint(_synset_ids(b, use_wordnet))
 
 
-def _meteor_match(cand: List[str], ref: List[str]):
-    """Three-stage greedy alignment (exact, Porter stem, synonym — the java
-    METEOR 1.5 matcher order minus its paraphrase table), each stage
-    matching left-to-right and preferring the reference position nearest
-    after the previous match (keeps chunks low). Returns (m, chunks)."""
+def _meteor_match(cand: List[str], ref: List[str], use_wordnet: bool = False):
+    """Four-stage greedy alignment in the java METEOR 1.5 matcher order
+    (exact, Porter stem, synonym, paraphrase — reference refTools/evaluation/
+    meteor/meteor.py drives meteor-1.5.jar with the same stage sequence).
+    Word stages match left-to-right, preferring the reference position
+    nearest after the previous match (keeps chunks low); the paraphrase
+    stage aligns still-unmatched contiguous token SPANS through the vendored
+    table, longest candidate span first. Returns (m_c, m_r, chunks): matched
+    word counts on the candidate and reference sides (they differ when a
+    paraphrase aligns spans of different lengths) and the chunk count over
+    match units."""
     used = [False] * len(ref)
     align = [-1] * len(cand)
+    # span matches as (ci, cn, rj, rn); word matches are n==1 spans
+    spans = []
 
     def run_stage(key_c, key_r, match=None):
         last = -1
@@ -497,32 +556,75 @@ def _meteor_match(cand: List[str], ref: List[str]):
                 align[i] = best
                 used[best] = True
                 last = best
+                spans.append((i, 1, best, 1))
 
     run_stage(cand, ref)
     run_stage([_porter_stem(t) for t in cand], [_porter_stem(t) for t in ref])
-    run_stage(cand, ref, match=_is_synonym)
+    run_stage(cand, ref, match=lambda a, b: _is_synonym(a, b, use_wordnet))
 
-    matched = [(i, j) for i, j in enumerate(align) if j >= 0]
-    m = len(matched)
-    if m == 0:
-        return 0, 0
+    # stage 4: paraphrase spans over whatever the word stages left unmatched
+    for n_c in range(min(_PARA_MAX_LEN, len(cand)), 0, -1):
+        for i in range(len(cand) - n_c + 1):
+            if any(align[t] >= 0 for t in range(i, i + n_c)):
+                continue
+            gids = _PARA_IDS.get(" ".join(cand[i:i + n_c]))
+            if not gids:
+                continue
+            hit = None
+            for n_r in range(min(_PARA_MAX_LEN, len(ref)), 0, -1):
+                for j in range(len(ref) - n_r + 1):
+                    if any(used[t] for t in range(j, j + n_r)):
+                        continue
+                    rg = _PARA_IDS.get(" ".join(ref[j:j + n_r]))
+                    if rg and not gids.isdisjoint(rg):
+                        hit = (j, n_r)
+                        break
+                if hit:
+                    break
+            if hit:
+                j, n_r = hit
+                for t in range(i, i + n_c):
+                    align[t] = j  # covered (span bookkeeping in `spans`)
+                for t in range(j, j + n_r):
+                    used[t] = True
+                spans.append((i, n_c, j, n_r))
+
+    if not spans:
+        return 0, 0, 0
+    spans.sort()
+    m_c = sum(cn for _, cn, _, _ in spans)
+    m_r = sum(rn for _, _, _, rn in spans)
     chunks = 1
-    for (i0, j0), (i1, j1) in zip(matched, matched[1:]):
-        if not (i1 == i0 + 1 and j1 == j0 + 1):
+    for (i0, cn0, j0, rn0), (i1, _, j1, _) in zip(spans, spans[1:]):
+        if not (i1 == i0 + cn0 and j1 == j0 + rn0):
             chunks += 1
-    return m, chunks
+    return m_c, m_r, chunks
 
 
-def meteor(gts: Dict, res: Dict, *, alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
-    """Pure-Python METEOR (exact + Porter-stem + synonym matchers; synonyms
-    come from real WordNet synsets when the nltk corpus is installed, else
-    the vendored table above — the java METEOR 1.5 the reference vendors in
-    refTools/evaluation/meteor adds a paraphrase-table stage and matcher
-    weighting on top, so scores remain band-comparable rather than exact:
-    measured on shared-fixture orderings the gap is a small constant
-    underestimate, a documented approximation, not a silent None). Classic
-    formula: Fmean with recall weight alpha, fragmentation penalty
-    gamma*(chunks/m)^beta; multiple references take the max."""
+def meteor(gts: Dict, res: Dict, *, alpha: float = 0.9, beta: float = 3.0,
+           gamma: float = 0.5, synonym_source: str = "table") -> float:
+    """Pure-Python METEOR with the full METEOR 1.5 matcher sequence (exact,
+    Porter stem, synonym, paraphrase — the java scorer the reference vendors
+    in refTools/evaluation/meteor). Scores are band-comparable to java
+    METEOR 1.5 rather than bit-exact: its tuned per-stage match weights and
+    50MB paraphrase table are replaced by unit weights and the compact
+    vendored table (tests/test_metrics.py pins the 4-stage alignment math on
+    hand-computed goldens).
+
+    synonym_source makes score provenance DETERMINISTIC (ADVICE r4): "table"
+    (default) always uses the vendored synonym table; "wordnet" requires the
+    nltk WordNet corpus and raises if absent — no silent environment-
+    dependent matcher switch.
+
+    Classic formula: Fmean with recall weight alpha, fragmentation penalty
+    gamma*(chunks/m)^beta with m the mean matched-word count (candidate and
+    reference sides differ only for unequal-length paraphrase spans);
+    multiple references take the max."""
+    if synonym_source not in ("table", "wordnet"):
+        raise ValueError(f"synonym_source must be 'table' or 'wordnet', got {synonym_source!r}")
+    use_wordnet = synonym_source == "wordnet"
+    if use_wordnet and _wordnet_or_none() is None:
+        raise RuntimeError("synonym_source='wordnet' but the nltk WordNet corpus is not installed")
     total = 0.0
     for iid in res:
         cand = ptb_tokenize(res[iid][0])
@@ -531,13 +633,14 @@ def meteor(gts: Dict, res: Dict, *, alpha: float = 0.9, beta: float = 3.0, gamma
             ref = ptb_tokenize(r)
             if not cand or not ref:
                 continue
-            m, chunks = _meteor_match(cand, ref)
-            if m == 0:
+            m_c, m_r, chunks = _meteor_match(cand, ref, use_wordnet)
+            if m_c == 0:
                 continue
-            p = m / len(cand)
-            q = m / len(ref)
+            p = m_c / len(cand)
+            q = m_r / len(ref)
             fmean = p * q / (alpha * p + (1 - alpha) * q)
-            frag = gamma * (chunks / m) ** beta if m else 0.0
+            m = 0.5 * (m_c + m_r)
+            frag = gamma * (chunks / m) ** beta
             best = max(best, fmean * (1.0 - frag))
         total += best
     return total / max(len(res), 1)
@@ -560,7 +663,9 @@ def coco_caption_eval(annotations: List[dict], results: List[dict]) -> dict:
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
         "ROUGE_L": rouge_l(gts, res),
         "CIDEr": cider,
-        "METEOR": meteor(gts, res),  # pure-Python (exact+stem); see meteor()
+        # pure-Python 4-stage matcher; deterministic vendored-table synonyms
+        "METEOR": meteor(gts, res, synonym_source="table"),
+        "METEOR_matcher": "table",  # score provenance is explicit (ADVICE r4)
         # SPICE needs a java scene-graph parser. The reference's own vendored
         # refTools/evaluation ships NO spice scorer either (only
         # bleu/cider/meteor/rouge; dataset/utils.py:372 merely mentions it in

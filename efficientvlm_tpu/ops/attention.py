@@ -119,6 +119,12 @@ def multi_head_attention(
     batch mismatch stays a loud shape error rather than silently pairing
     query row q with kv row q//G.
     """
+    if cache is not None and (kv_groups > 1 or precomputed_kv is not None):
+        # a decode cache combined with grouped or precomputed K/V would
+        # silently skip the cache update (stale K/V) or write cross K/V into
+        # self-attn slots — reject loudly per the module contract
+        raise ValueError(
+            "cache is mutually exclusive with kv_groups>1 and precomputed_kv")
     self_attn = x_kv is None
     if self_attn:
         x_kv = x_q

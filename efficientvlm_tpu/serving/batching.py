@@ -75,6 +75,7 @@ class DynamicBatcher:
         max_batch_size: int = 16,
         max_wait_ms: float = 10.0,
         max_backlog: Optional[int] = None,
+        finish_watchdog_s: float = 120.0,
         name: str = "batcher",
     ):
         self._run = run_batch
@@ -120,6 +121,12 @@ class DynamicBatcher:
         # latency bounded at ~2 batches
         self._pending: Optional[queue.Queue] = (
             queue.Queue(maxsize=1) if finish_batch is not None else None)
+        # watchdog: if one finish_batch call (device result fetch — a hung
+        # tunnel is a documented failure mode) runs longer than this, the
+        # batcher declares itself WEDGED: submits fail loudly instead of
+        # queueing until the client timeout (advisor r4)
+        self.finish_watchdog_s = float(finish_watchdog_s)
+        self._finish_t0: Optional[float] = None  # guarded by _lock
         self._thread = threading.Thread(target=self._loop, daemon=True, name=name)
         self._thread.start()
         self._finisher = None
@@ -131,6 +138,13 @@ class DynamicBatcher:
     def submit(self, item) -> Future:
         if self._stop.is_set():
             raise RuntimeError("batcher is closed")
+        with self._lock:
+            wedge_t0 = self._finish_t0
+        if (wedge_t0 is not None
+                and time.monotonic() - wedge_t0 > self.finish_watchdog_s):
+            raise RuntimeError(
+                f"batcher wedged: finish_batch stuck for "
+                f">{self.finish_watchdog_s:.0f}s (hung device result fetch?)")
         fut: Future = Future()
         with self._cv:
             if len(self._rq) >= self.max_backlog:
@@ -199,11 +213,18 @@ class DynamicBatcher:
 
     def close(self) -> None:
         self._stop.set()
+        # fail queued futures FIRST: a wedged pipeline must not hold every
+        # queued client hostage behind the join timeouts below (advisor r4)
+        self._drain_failed()
         with self._cv:
             self._cv.notify_all()  # wake a blocked dispatch thread
         self._thread.join(timeout=30)
         if self._finisher is not None:
-            self._finisher.join(timeout=30)
+            with self._lock:
+                wedged = (self._finish_t0 is not None and
+                          time.monotonic() - self._finish_t0 > self.finish_watchdog_s)
+            # don't wait out a wedged fetch — the daemon thread dies with us
+            self._finisher.join(timeout=1 if wedged else 30)
         # backstop for the submit()/close() race: anything enqueued after
         # the worker's own exit drain still gets failed here
         self._drain_failed()
@@ -293,15 +314,38 @@ class DynamicBatcher:
                     continue
                 self._record(batch, t0, dispatch_ms, (time.monotonic() - t1) * 1e3)
             else:
-                self._pending.put((out, batch, items, t0, dispatch_ms))
+                # stop-aware put: a wedged finisher keeps the slot occupied
+                # forever — the dispatch thread must still exit on close()
+                entry = (out, batch, items, t0, dispatch_ms)
+                while not self._stop.is_set():
+                    try:
+                        self._pending.put(entry, timeout=0.5)
+                        entry = None
+                        break
+                    except queue.Full:
+                        continue
+                if entry is not None:
+                    self._fail_batch(batch, RuntimeError("batcher closed"))
         if self._pending is not None:
-            # wake the finisher with a sentinel once in-flight work drains
-            self._pending.put(None)
+            # wake the finisher promptly with a sentinel; if the slot is
+            # wedged/full, skip it — the finisher's own 0.5s stop backstop
+            # (see _finish_loop) handles shutdown
+            try:
+                self._pending.put_nowait(None)
+            except queue.Full:
+                pass
         self._drain_failed()  # stop requested: fail anything still queued
 
     def _finish_loop(self) -> None:
         while True:
-            entry = self._pending.get()
+            try:
+                entry = self._pending.get(timeout=0.5)
+            except queue.Empty:
+                # 0.5s stop backstop (same pattern as _loop): a close() whose
+                # sentinel couldn't be enqueued still terminates this thread
+                if self._stop.is_set():
+                    return
+                continue
             with self._cv:
                 # pipeline slot freed: wake a dispatch thread blocked in
                 # _collect's busy-drain so it stops coalescing and dispatches
@@ -310,6 +354,8 @@ class DynamicBatcher:
                 return
             handle, batch, items, t0, dispatch_ms = entry
             t1 = time.monotonic()
+            with self._lock:
+                self._finish_t0 = t1  # watchdog arm: one fetch in flight
             try:
                 outs = self._finish(handle, items)
                 if len(outs) != len(items):
@@ -321,4 +367,7 @@ class DynamicBatcher:
                 self._fail_batch(batch, e)
                 self._record(batch, t0, dispatch_ms, (time.monotonic() - t1) * 1e3)
                 continue
+            finally:
+                with self._lock:
+                    self._finish_t0 = None  # watchdog disarm
             self._record(batch, t0, dispatch_ms, (time.monotonic() - t1) * 1e3)

@@ -189,6 +189,49 @@ def test_batcher_pipelined_propagates_finish_exception():
         b.close()
 
 
+def test_batcher_wedged_finish_watchdog():
+    """A hung finish_batch (wedged tunnel fetch — advisor r4) must degrade
+    LOUDLY: once one fetch exceeds finish_watchdog_s, submits raise instead
+    of queueing until client timeout, and close() fails queued futures
+    immediately instead of blocking behind the wedged slot."""
+    import threading as th
+
+    release = th.Event()
+
+    def dispatch(items):
+        return items
+
+    def finish(handle, items):
+        release.wait(30)  # simulate a hung device result fetch
+        return items
+
+    b = DynamicBatcher(dispatch, finish_batch=finish, max_batch_size=2,
+                       max_wait_ms=1, finish_watchdog_s=0.2)
+    try:
+        first = b.submit(1)  # enters finish() and hangs there
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            time.sleep(0.05)
+            try:
+                fut = b.submit(2)  # queues until the watchdog trips
+            except RuntimeError as e:
+                assert "wedged" in str(e)
+                break
+        else:
+            raise AssertionError("watchdog never tripped")
+        t0 = time.monotonic()
+        b.close()  # must not block the full join timeouts
+        assert time.monotonic() - t0 < 5
+        with pytest.raises(RuntimeError, match="batcher closed"):
+            fut.result(timeout=1)
+    finally:
+        release.set()
+        b.close()
+    # the wedged-then-released first request either completed or was failed;
+    # it must not be silently lost
+    assert first.done() or first.exception(timeout=5) is not None
+
+
 def test_batcher_propagates_exceptions():
     def run(items):
         raise ValueError("boom")
