@@ -122,6 +122,17 @@ def bert_embeddings(
     t = input_ids.shape[1]
     pos_ids = jnp.arange(t)[None] + position_offset
     h = embedding_lookup(params["word"], input_ids, dtype=dtype)
+    # nn.Embedding(padding_idx=pad_token_id) blocks gradients to the PAD row
+    # (HF BertEmbeddings); the PAD embedding reaches the loss through the KD
+    # hidden-state taps at padded positions, so without this the PAD row
+    # drifts where the reference's stays frozen. stop_gradient at pad
+    # positions is exactly equivalent: row `pad` only ever receives
+    # gradient contributions from positions whose id == pad.
+    pad = cfg.get("pad_token_id", 0)
+    if pad is not None:
+        h = jnp.where(
+            (input_ids == pad)[..., None], jax.lax.stop_gradient(h), h
+        )
     h = h + embedding_lookup(params["position"], pos_ids, dtype=dtype)
     h = h + embedding_lookup(
         params["token_type"], jnp.zeros_like(input_ids), dtype=dtype

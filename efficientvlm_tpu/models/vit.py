@@ -152,9 +152,17 @@ def vit_layer(
     if lp.get("mlp") is not None:  # fully-pruned FFN -> identity
         residual = h
         x = layer_norm(lp["ln2"], h, eps=1e-5)
-        x = act(dense(lp["mlp"]["fc1"], x, dtype=dtype))
-        if mlp_z is not None:  # mask FFN intermediate dims (eff_vit.py:216-217)
+        x = dense(lp["mlp"]["fc1"], x, dtype=dtype)
+        if mlp_z is not None:
+            # mask FFN intermediate dims BETWEEN fc1 and the activation —
+            # eff_vit.py:214-218 (CLIPMLP: fc1 -> mul(mlp_z) -> act -> fc2).
+            # NOTE this differs from the text tower, where the reference
+            # gates AFTER the activation (eff_bert.py:543-556); for binary
+            # masks both orders agree (act(0)=0), but the stochastic
+            # training gates are continuous and act(z*x) != z*act(x) — the
+            # trajectory differential caught the post-act variant here.
             x = x * mlp_z.astype(x.dtype)
+        x = act(x)
         x = dense(lp["mlp"]["fc2"], x, dtype=dtype)
         h = residual + x
     return h, probs

@@ -70,8 +70,22 @@ def _slice_heads(attn: dict, head_z: np.ndarray, head_dim: int, align: int = 1) 
 
 
 def _fold_mlp_gate(fc2: dict, mlp_z: np.ndarray) -> dict:
+    """Fold a POST-activation intermediate gate (text tower semantics,
+    eff_bert.py:543-556: act -> mul(z) -> down-proj) into the down-proj rows."""
     out = dict(fc2)
     out["kernel"] = fc2["kernel"] * np.asarray(mlp_z, np.float32)[:, None]
+    return out
+
+
+def _fold_mlp_gate_pre(fc1: dict, mlp_z: np.ndarray) -> dict:
+    """Fold a PRE-activation intermediate gate (vision tower semantics,
+    eff_vit.py:214-218: fc1 -> mul(z) -> act -> fc2) into fc1 columns +
+    bias — exact for ANY z value, not just binary masks."""
+    z = np.asarray(mlp_z, np.float32)
+    out = dict(fc1)
+    out["kernel"] = fc1["kernel"] * z[None, :]
+    if "bias" in fc1:
+        out["bias"] = fc1["bias"] * z
     return out
 
 
@@ -110,8 +124,8 @@ def prune_vit_params(params: dict, zs: dict, *, head_dim: int = 64,
             lp["attn"] = _slice_heads(lp["attn"], hz, head_dim, align_heads)
         if mlp_z is not None and lp.get("mlp") is not None:
             mz = np.asarray(mlp_z[i]).reshape(-1)
-            fc2 = _fold_mlp_gate(lp["mlp"]["fc2"], mz)
-            fc1, fc2 = _slice_mlp(lp["mlp"]["fc1"], fc2, mz, align_intermediate)
+            fc1 = _fold_mlp_gate_pre(lp["mlp"]["fc1"], mz)
+            fc1, fc2 = _slice_mlp(fc1, lp["mlp"]["fc2"], mz, align_intermediate)
             lp["mlp"] = None if fc1 is None else {"fc1": fc1, "fc2": fc2}
         layers.append(lp)
     new["layers"] = layers

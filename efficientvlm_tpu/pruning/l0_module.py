@@ -87,12 +87,23 @@ class L0Module:
         emit = self.groups[name].get("emit")
         return emit(z) if emit is not None else z
 
-    def forward_train(self, params: dict, rng: Array) -> dict:
-        """Stochastic zs (training=True path, xvlm_l0_module.py:321-328)."""
+    def forward_train(self, params: dict, rng: Array, *, noise: Optional[dict] = None) -> dict:
+        """Stochastic zs (training=True path, xvlm_l0_module.py:321-328).
+
+        noise: optional {group_name: u array of group shape} of uniform(eps,
+        1-eps) draws to use instead of sampling from `rng` — the test seam
+        that lets a trajectory differential feed the reference torch module
+        and this one bit-identical concrete noise."""
         zs = {}
         keys = jax.random.split(rng, len(self.groups))
         for k, name in zip(keys, self.groups):
-            z = hc.sample_z(k, params["loga"][name], self.temperature)
+            if noise is not None:
+                u = jnp.asarray(noise[name])
+                z = jnp.clip(
+                    hc.quantile_concrete(u, params["loga"][name], self.temperature), 0.0, 1.0
+                )
+            else:
+                z = hc.sample_z(k, params["loga"][name], self.temperature)
             zs[f"{name}_z"] = self._emit(name, z)
         return zs
 

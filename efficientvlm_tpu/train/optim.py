@@ -7,6 +7,18 @@
 - create_L0_optimizer (optim.py:4-21): separate AdamW for gate log-alphas
   (lr=reg_learning_rate) and a NEGATIVE-lr AdamW for the Lagrangian
   multipliers λ1, λ2 (gradient ascent side of the max-min game).
+
+All three pin betas=(0.9, 0.98), eps=1e-8 — the reference's explicit AdamW
+arguments (optim.py:12,20,67), NOT the Adam default b2=0.999.
+
+Deliberate divergence: the reference's MAIN optimizer also contains the l0
+module's loga and λ parameters (create_optimizer iterates the full
+model.named_parameters(), and the student model owns l0_module — so its
+gates are updated TWICE per step: once by the main AdamW with lr + weight
+decay, then again by the L0/Lagrangian AdamWs). We treat that as an
+upstream accident: here the gate/λ leaves live outside `params` and are
+updated exactly once by their dedicated optimizers
+(tests/test_trajectory_differential.py documents this quantitatively).
 """
 
 from __future__ import annotations
@@ -83,7 +95,7 @@ def create_optimizer(
     weight_decay: float = 0.01,
     lr_mult: float = 1.0,
     init_param_paths: Iterable[str] = (),
-    betas=(0.9, 0.999),
+    betas=(0.9, 0.98),
     eps: float = 1e-8,
     grad_clip: Optional[float] = None,
 ) -> optax.GradientTransformation:
@@ -107,10 +119,11 @@ def create_optimizer(
 
 
 def create_l0_optimizer(*, reg_lr: float = 0.01) -> optax.GradientTransformation:
-    """AdamW over gate log-alphas (reference optim.py:8-12)."""
-    return optax.adamw(learning_rate=reg_lr, weight_decay=0.0)
+    """AdamW over gate log-alphas (reference optim.py:8-12; betas/eps pinned
+    to the reference's AdamW(eps=1e-8, betas=(0.9, 0.98)))."""
+    return optax.adamw(learning_rate=reg_lr, b1=0.9, b2=0.98, eps=1e-8, weight_decay=0.0)
 
 
 def create_lagrangian_optimizer(*, reg_lr: float = 0.01) -> optax.GradientTransformation:
     """NEGATIVE learning rate = gradient ascent on λ (optim.py:14-20)."""
-    return optax.adamw(learning_rate=-reg_lr, weight_decay=0.0)
+    return optax.adamw(learning_rate=-reg_lr, b1=0.9, b2=0.98, eps=1e-8, weight_decay=0.0)
