@@ -74,7 +74,12 @@ def make_bert_decode_fn(
             dtype=dtype, impl=impl,
         )
         logits = B.mlm_head_apply(params["cls"], out["last_hidden"], cfg, dtype=dtype)
-        return logits.astype(jnp.float32), out["cache"]
+        # logits stay in the COMPUTE dtype (bf16 on chip): the beam fast
+        # path ranks candidates on the raw values (bf16 -> f32 is monotone,
+        # so the selection is provably identical) and only the <= K*(2K+1)
+        # selected candidates ever get exact f32 scores — casting the full
+        # [B*K, V] tensor here doubled the decode loop's logits traffic
+        return logits, out["cache"]
 
     return decode_fn
 
@@ -143,7 +148,7 @@ def generate_no_beam(
 
     def body(s: _S) -> _S:
         cur_len = s.cur_len
-        logits = s.next_logits / temperature
+        logits = s.next_logits.astype(jnp.float32) / temperature
         valid = (jnp.arange(max_length) < cur_len).astype(jnp.float32)[None, :]
         logits = apply_repetition_penalty(logits, s.tokens, valid, repetition_penalty)
         logits = jnp.where(cur_len < min_length, logits.at[:, eos_id].set(NEG_INF), logits)
@@ -245,19 +250,52 @@ def generate_beam(
 
     def body(s: _S) -> _S:
         cur_len = s.cur_len
-        # HF beam_search order: log_softmax FIRST, then logits processors
-        # (min-length / repetition penalty) on the log-probs — masking raw
-        # logits would renormalize the distribution and shift every score
-        logp = jax.nn.log_softmax(s.next_logits, axis=-1)
-        valid = (jnp.arange(max_length) < cur_len).astype(jnp.float32)[None, :]
-        logp = apply_repetition_penalty(logp, s.tokens, valid, repetition_penalty)
-        logp = jnp.where(cur_len < min_length, logp.at[:, eos_id].set(NEG_INF), logp)
+        if repetition_penalty == 1.0 and vocab >= k2 + 1:
+            # Fast path (the production caption/VQA configs): the decode
+            # loop is bandwidth-bound on [B*K, V] logits passes, so never
+            # materialize a full-vocab f32 tensor. Per-row top-(2K+1) on
+            # the RAW compute-dtype logits is rank-identical to top-k on
+            # f32 log-probs (bf16 -> f32 is monotone injective and
+            # score_row + logp_row is a per-row monotone shift; ties cast
+            # to equal f32 values and break by token id either way), and
+            # 2K+1 candidates per row keep >= 2K after the min-length EOS
+            # mask drops at most one per row. Only the K*(2K+1) selected
+            # candidates get exact f32 log-probs via a per-row logsumexp
+            # (two fused read passes, no full-vocab write). Equivalence
+            # is pinned by tests/test_beam_differential.py.
+            kc = k2 + 1
+            raw = s.next_logits                              # [B*K, V]
+            cand_logit, cand_tok = jax.lax.top_k(raw, kc)    # [B*K, kc]
+            x = raw.astype(jnp.float32)
+            m = jnp.max(x, axis=-1, keepdims=True)
+            log_s = jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
+            # same association as jax.nn.log_softmax: (x - m) - log S
+            logp_cand = (cand_logit.astype(jnp.float32) - m) - log_s
+            logp_cand = jnp.where(
+                (cur_len < min_length) & (cand_tok == eos_id), NEG_INF, logp_cand)
+            merged = (s.scores[:, None] + logp_cand).reshape(bsz, num_beams * kc)
+            top_scores, midx = jax.lax.top_k(merged, k2)     # [B, 2K]
+            beam_idx = midx // kc                            # [B, 2K] in [0, K)
+            tok_idx = jnp.take_along_axis(
+                cand_tok.reshape(bsz, num_beams * kc), midx, axis=1
+            ).astype(jnp.int32)
+        else:
+            # HF beam_search order: log_softmax FIRST, then logits processors
+            # (min-length / repetition penalty) on the log-probs — masking raw
+            # logits would renormalize the distribution and shift every score.
+            # The repetition penalty shifts rows NON-uniformly per token, so
+            # the rank-equivalence above doesn't hold and the full-vocab
+            # path is required.
+            logp = jax.nn.log_softmax(s.next_logits.astype(jnp.float32), axis=-1)
+            valid = (jnp.arange(max_length) < cur_len).astype(jnp.float32)[None, :]
+            logp = apply_repetition_penalty(logp, s.tokens, valid, repetition_penalty)
+            logp = jnp.where(cur_len < min_length, logp.at[:, eos_id].set(NEG_INF), logp)
 
-        cand = (s.scores[:, None] + logp).reshape(bsz, num_beams * vocab)
-        # 2K candidates guarantee K non-EOS continuations (HF takes 2K too)
-        top_scores, top_idx = jax.lax.top_k(cand, k2)  # [B, 2K]
-        beam_idx = top_idx // vocab                    # [B, 2K] in [0, K)
-        tok_idx = (top_idx % vocab).astype(jnp.int32)
+            cand = (s.scores[:, None] + logp).reshape(bsz, num_beams * vocab)
+            # 2K candidates guarantee K non-EOS continuations (HF takes 2K too)
+            top_scores, top_idx = jax.lax.top_k(cand, k2)  # [B, 2K]
+            beam_idx = top_idx // vocab                    # [B, 2K] in [0, K)
+            tok_idx = (top_idx % vocab).astype(jnp.int32)
 
         # candidate token rows [B, 2K, L]
         live = s.tokens.reshape(bsz, num_beams, max_length)

@@ -232,24 +232,47 @@ def bert_layer_apply(
     cross_probs = None
     if lp.get("crossattention") is not None and (
             encoder_hidden is not None or cross_kv is not None):
-        use_fused_x = (
+        can_fuse_x = (
             impl == "fused" and cache is None and cross_kv is None
             and (not train or (adrop == 0.0 and hdrop == 0.0))
             and (encoder_bias is None
                  or (encoder_bias.ndim == 4 and encoder_bias.shape[2] == 1))
             and h.shape[-1] >= 128  # sub-lane widths: see vit.py use_fused
             and "kernel" in lp["crossattention"]["q"]  # int8 params run XLA
-            # shared (unexpanded) encoder rows: grouped-K/V XLA beats the
-            # kernel — it skips the per-group-repeated K/V projections
-            and encoder_groups == 1
         )  # cached decode queries are 1 token — the XLA path wins there
-        if use_fused_x:
+        if can_fuse_x:
             # cross keys = image tokens (577 at 384px: +11% pad, kernel
             # wins; 197 at 224px: +30%, XLA wins) — see lane_pad_efficient
             from ..ops.pallas_fused_mha import lane_pad_efficient
 
-            use_fused_x = lane_pad_efficient(encoder_hidden.shape[1])
-        if use_fused_x:
+            can_fuse_x = lane_pad_efficient(encoder_hidden.shape[1])
+        use_fused_x = can_fuse_x and encoder_groups == 1
+        # grouped (unexpanded) encoder rows: the grouped LAYER kernel
+        # projects each image's K/V once into VMEM scratch and group-folds
+        # the queries into MXU-shaped row blocks — the k_test rerank hot
+        # path (VERDICT r4 #4). Eval-only (no custom_vjp) and no probs.
+        use_fused_xg = (
+            can_fuse_x and encoder_groups > 1 and not train
+            and not output_probs
+            and (encoder_bias is None or encoder_bias.shape[0] in
+                 (1, encoder_hidden.shape[0]))  # per-image key vector
+            and encoder_groups * h.shape[1] >= 256  # decode steps stay XLA
+        )
+        if use_fused_xg:
+            from ..ops.pallas_fused_mha import fused_cross_attention_grouped
+
+            x_out = fused_cross_attention_grouped(
+                lp["crossattention"], h.astype(dtype) if dtype is not None else h,
+                encoder_hidden,
+                num_heads=_num_heads(lp["crossattention"], head_dim),
+                kv_groups=encoder_groups,
+                key_bias=(jnp.broadcast_to(
+                    encoder_bias[:, 0, 0, :],
+                    (encoder_hidden.shape[0], encoder_hidden.shape[1]))
+                    if encoder_bias is not None else None),
+                head_z=cross_head_z,
+            )
+        elif use_fused_x:
             from ..ops.pallas_fused_mha import fused_cross_attention
 
             res = fused_cross_attention(
@@ -276,7 +299,13 @@ def bert_layer_apply(
                 dtype=dtype,
                 precomputed_kv=cross_kv,
                 kv_groups=encoder_groups,
-                impl="xla" if impl == "fused" else impl,
+                # grouped cross-attention keeps the real impl: the grouped
+                # flash kernel (ops/pallas_attention.flash_attention_grouped)
+                # shares K/V across the group AND keeps scores in VMEM —
+                # multi_head_attention only honors it on the grouped path,
+                # so non-grouped calls still lower to the XLA einsum
+                impl=impl if encoder_groups > 1 else (
+                    "xla" if impl == "fused" else impl),
             )
             x_out = dropout(x_out, hdrop, rng=rngs[3], train=train)
         h = layer_norm(lp["crossattention_ln"], h + x_out, eps=eps)

@@ -89,6 +89,7 @@ def vit_layer(
     num_heads: int,
     act,
     bias: Optional[Array] = None,
+    key_mask: Optional[Array] = None,
     head_z: Optional[Array] = None,
     head_layer_z: Optional[Array] = None,
     mlp_z: Optional[Array] = None,
@@ -104,7 +105,13 @@ def vit_layer(
         residual = h
         x = layer_norm(lp["ln1"], h, eps=1e-5)
         use_fused = (
-            impl == "fused" and bias is None
+            # a generic [B,1,*,S] bias forces XLA, but a KEY-VECTOR mask
+            # fuses: the kernel takes [B,S] masks natively, and the GD
+            # region masks (reference clip_vit.py:292-300 image_atts_blk,
+            # built from [B,S] patch atts) are exactly that — the reference
+            # merely broadcast-expands them to (bs,1,S,S). vit_apply passes
+            # the vector form alongside the XLA bias (VERDICT r4 #7).
+            impl == "fused" and (bias is None or key_mask is not None)
             # train-mode forwards are differentiated: fuse them only via the
             # custom_vjp (XLA-recompute backward) path, and only when the
             # kernel computes the complete attention (no dropout)
@@ -126,8 +133,8 @@ def vit_layer(
             # emits the softmax maps the KD taps need (VERDICT r2 #5)
             res = fused_self_attention(
                 lp["attn"], x.astype(dtype) if dtype is not None else x,
-                num_heads=num_heads, head_z=head_z, return_probs=output_probs,
-                differentiable=train,
+                num_heads=num_heads, mask=key_mask, head_z=head_z,
+                return_probs=output_probs, differentiable=train,
             )
             attn_out, probs = res if output_probs else (res, None)
             if head_layer_z is not None:
@@ -248,6 +255,7 @@ def vit_apply(
     # Region local-attention bias (clip_vit.py:291-300): grouped rows get
     # per-region patch masks; the original full-attention rows get all-ones.
     local_bias = None
+    local_key_mask = None
     if idx_to_group_img is not None and image_atts is not None:
         if local_attn_depth <= 0:
             # the grouped-copy gather happens at the local-attention
@@ -261,6 +269,7 @@ def vit_apply(
         full_atts = jnp.ones((h.shape[0], h.shape[1]), jnp.float32)
         atts_blk = jnp.concatenate([image_atts.astype(jnp.float32), full_atts], axis=0)
         local_bias = make_attention_bias(atts_blk)
+        local_key_mask = atts_blk  # vector form: fuses (vit_layer key_mask)
 
     # lax.scan over uniform layers: shrinks the traced graph ~depth-x — the
     # unrolled loop makes teacher+KD steps take minutes to trace at 12
@@ -337,6 +346,7 @@ def vit_apply(
             all_hidden.append(h)
         is_local = local_attn_depth > 0 and i >= depth - local_attn_depth
         bias_i = None
+        key_mask_i = None
         if is_local and do_gather:
             # stack grouped per-region rows on top of full-attention batch
             gathered = jnp.take(h, idx_to_group_img, axis=0)
@@ -344,6 +354,7 @@ def vit_apply(
             do_gather = False
         if is_local and local_bias is not None:
             bias_i = local_bias
+            key_mask_i = local_key_mask
         lrng = None
         if rng is not None:
             rng, lrng = jax.random.split(rng)
@@ -353,6 +364,7 @@ def vit_apply(
             num_heads=_num_heads(params["layers"][i], head_dim),
             act=act,
             bias=bias_i,
+            key_mask=key_mask_i,
             head_z=layer_gate(head_z, i),
             head_layer_z=layer_gate(head_layer_z, i),
             mlp_z=layer_gate(mlp_z, i),

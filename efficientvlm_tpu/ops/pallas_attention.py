@@ -114,6 +114,106 @@ def _flash_attention_padded(q, k, v, bias, *, vector_bias: bool, interpret: bool
     )(q, k, v, bias)
 
 
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def _flash_attention_grouped_padded(q, k, v, bias, *, block_r: int, interpret: bool):
+    """Grouped-K/V flash attention over GROUP-FOLDED queries:
+    q [Bk, H, R, dh] where R = G*Tq_p — every query row of a group shares
+    that group's K/V, so the fold turns G tiny [Tq, Tk] attentions into
+    R/block_r well-shaped [block_r, Tk] ones. Grid (Bk, H, R/block_r) with
+    the row-block dim fastest-varying: the K/V block's index map is
+    invariant across it, so Mosaic keeps each (batch, head) K/V resident
+    in VMEM — one HBM read per K/V tile per head, like the grouped einsum,
+    but the scores never round-trip HBM (the bandwidth sink that held the
+    k_test rerank at 0.21 MFU: a [rows*k, H, 40, 577] f32 score tensor is
+    ~850 MB per fusion layer). A first cut kept the [Bq, H, Tq, dh] layout
+    and gridded (Bk, H, G): 36864 steps of [48, 640] tiles ran at 8% MFU —
+    the fold is what makes the kernel MXU-shaped (trace-measured).
+    bias: [Bk, 1, Tk] additive key vector, shared by the whole group."""
+    bk, h, r, dh = q.shape
+    tk = k.shape[2]
+    grid = (bk, h, r // block_r)
+
+    q_idx = lambda bi, hi, ri: (bi, hi, ri, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_r, dh), q_idx),
+        pl.BlockSpec((1, 1, tk, dh), lambda bi, hi, ri: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, tk, dh), lambda bi, hi, ri: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, tk), lambda bi, hi, ri: (bi, 0, 0)),
+    ]
+
+    flops = 4 * bk * h * r * tk * dh
+    bytes_acc = (2 * q.size + (k.size + v.size)) * q.dtype.itemsize
+    return pl.pallas_call(
+        _kernel_vec,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_r, dh), q_idx),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_acc, transcendentals=bk * h * r * tk
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def flash_attention_grouped(
+    q: Array, k: Array, v: Array, *, kv_groups: int,
+    bias: Optional[Array] = None,
+) -> Array:
+    """Grouped-K/V flash attention (see _flash_attention_grouped_padded).
+    q [Bk*G, H, Tq, dh] (already scaled, groups contiguous), k/v
+    [Bk, H, Tk, dh]; bias is an additive KEY VECTOR [1 | Bk, 1, 1, Tk] or
+    None — a per-GROUP vector, shared by all G query rows of the group
+    (per-query-row or matrix biases don't occur on the grouped
+    cross-attention paths; callers fall back to the XLA einsum for those).
+    Returns [Bk*G, H, Tq, dh]."""
+    bq, h, tq, dh = q.shape
+    bk, _, tk, _ = k.shape
+    g = kv_groups
+    if bq != bk * g:
+        raise ValueError(f"flash grouped: query batch {bq} != {g} * kv batch {bk}")
+    tq_p = _round_up(max(tq, 8), 8)
+    tk_p = _round_up(max(tk, 8), LANE)
+
+    interpret = jax.devices()[0].platform != "tpu"
+
+    pad_q = tq_p - tq
+    pad_k = tk_p - tk
+    if pad_q or pad_k:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+
+    # fold the group into the row dim: [Bk*G, H, Tq_p, dh] -> [Bk, H, R, dh]
+    # (one transposed copy each way — ~0.4% of the traffic the fold saves)
+    r_rows = g * tq_p
+    qf = q.reshape(bk, g, h, tq_p, dh).transpose(0, 2, 1, 3, 4).reshape(bk, h, r_rows, dh)
+    block_r = min(BLOCK_Q, r_rows)
+    pad_r = _round_up(r_rows, block_r) - r_rows
+    if pad_r:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, pad_r), (0, 0)))
+
+    if bias is None:
+        vb = jnp.zeros((bk, tk), jnp.float32)
+    else:
+        vb = bias[:, 0, 0, :].astype(jnp.float32)
+        if vb.shape[0] == 1:
+            vb = jnp.broadcast_to(vb, (bk, tk))
+        elif vb.shape[0] != bk:
+            raise ValueError(f"flash grouped: bias batch {vb.shape[0]} != kv batch {bk}")
+    vb = jnp.pad(vb, ((0, 0), (0, pad_k)), constant_values=NEG)
+
+    out = _flash_attention_grouped_padded(
+        qf, k, v, vb[:, None, :], block_r=block_r, interpret=interpret)
+    if pad_r:
+        out = out[:, :, :r_rows]
+    out = out.reshape(bk, h, g, tq_p, dh).transpose(0, 2, 1, 3, 4).reshape(bq, h, tq_p, dh)
+    return out[:, :, :tq] if pad_q else out
+
+
 def flash_attention(
     q: Array, k: Array, v: Array, *, bias: Optional[Array] = None
 ) -> Array:

@@ -525,3 +525,199 @@ def fused_self_attention(
     if differentiable:
         return _dv_self(num_heads, return_probs)(params, hidden, kb2, gates1)
     return _self_call(params, hidden, kb2, gates1, num_heads, return_probs)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-K/V fused cross-attention layer (the k_test rerank hot path)
+# ---------------------------------------------------------------------------
+
+
+def _fused_cross_grouped_kernel(num_heads: int, head_dim: int, scale: float):
+    """Grouped variant of _fused_cross_kernel: G contiguous query rows share
+    one encoder row. Grid (Bk, row_blocks) over GROUP-FOLDED queries
+    [Bk, G*T_p, D]; each image's K/V are projected ONCE into VMEM scratch
+    at its first row block and stay resident for the remaining blocks
+    (pl.when(ri == 0)), so neither the K/V projections nor the [R, S]
+    scores ever touch HBM. Replaces, for the rerank chunk, the chain
+    q-split copy -> grouped einsum (850 MB f32 scores/layer) -> merge copy
+    that held eval reranking at 0.21 MFU (VERDICT r4 #4)."""
+    heads_per_group = max(1, LANE // head_dim)
+    if num_heads % heads_per_group != 0:
+        heads_per_group = num_heads
+    group_width = heads_per_group * head_dim
+    num_groups = num_heads // heads_per_group
+
+    def kernel(h_ref, e_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
+               bv_ref, bias_ref, gate_ref, o_ref, k_scr, v_scr, acc_ref):
+        ri = pl.program_id(1)
+
+        @pl.when(ri == 0)
+        def _project_kv():
+            enc = e_ref[0]  # [S, De]
+            k_scr[:, :] = (jax.lax.dot_general(
+                enc, wk_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bk_ref[0, :].astype(jnp.float32)).astype(k_scr.dtype)
+            v_scr[:, :] = (jax.lax.dot_general(
+                enc, wv_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bv_ref[0, :].astype(jnp.float32)).astype(v_scr.dtype)
+
+        hidden = h_ref[0]  # [R, D] — R folded query rows of this image
+        key_bias = bias_ref[0, 0].astype(jnp.float32)  # [S]
+
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        for gi in range(num_groups):
+            sl = pl.ds(gi * group_width, group_width)
+            qg = (jax.lax.dot_general(
+                hidden, wq_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bq_ref[0, sl].astype(jnp.float32)).astype(hidden.dtype)
+            kg = k_scr[:, sl]
+            vg = v_scr[:, sl]
+            wog = wo_ref[sl, :]
+            ctx_parts = []
+            for s in range(heads_per_group):
+                q = qg[:, s * head_dim:(s + 1) * head_dim]
+                k = kg[:, s * head_dim:(s + 1) * head_dim]
+                v = vg[:, s * head_dim:(s + 1) * head_dim]
+                scores = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale + key_bias[None, :]
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(hidden.dtype)
+                ctx = jax.lax.dot_general(
+                    probs, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gate = gate_ref[0, gi * heads_per_group + s]
+                ctx_parts.append(ctx * gate)
+            ctx_g = jnp.concatenate(ctx_parts, axis=1)
+            acc_ref[:, :] = acc_ref[:, :] + jax.lax.dot_general(
+                ctx_g.astype(hidden.dtype), wog, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[0] = acc_ref[:, :].astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim",
+                                             "block_rows", "interpret"))
+def _fused_cross_grouped_padded(hidden, enc, wq, wk, wv, wo, bq, bk_, bv,
+                                key_bias, gates, *, num_heads: int,
+                                head_dim: int, block_rows: int, interpret: bool):
+    """hidden: [Bk, R, D] group-folded padded queries (R % block_rows == 0);
+    enc: [Bk, S_p, De]; key_bias: [Bk, 1, S_p]."""
+    bk, r, d = hidden.shape
+    s, de = enc.shape[1], enc.shape[2]
+    a = wq.shape[1]
+    assert a == num_heads * head_dim, (a, num_heads, head_dim)
+    scale = head_dim ** -0.5
+    kernel = _fused_cross_grouped_kernel(num_heads, head_dim, scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(bk, r // block_rows),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, d), lambda bi, ri: (bi, ri, 0)),
+            pl.BlockSpec((1, s, de), lambda bi, ri: (bi, 0, 0)),
+            pl.BlockSpec((d, a), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((de, a), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((de, a), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((a, d), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((1, a), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((1, a), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((1, a), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((1, 1, s), lambda bi, ri: (bi, 0, 0)),
+            pl.BlockSpec((1, num_heads), lambda bi, ri: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, d), lambda bi, ri: (bi, ri, 0)),
+        out_shape=jax.ShapeDtypeStruct(hidden.shape, hidden.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((s, a), hidden.dtype),   # K, projected once per image
+            pltpu.VMEM((s, a), hidden.dtype),   # V
+            pltpu.VMEM((block_rows, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the K/V scratch carries state across the row-block dim
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bk * r * d * a * 2 + 4 * bk * s * de * a
+            + 4 * bk * r * s * head_dim * num_heads,
+            bytes_accessed=(2 * hidden.size + enc.size + 4 * d * a) * hidden.dtype.itemsize,
+            transcendentals=bk * num_heads * r * s,
+        ),
+        interpret=interpret,
+    )(hidden, enc, wq, wk, wv, wo, bq, bk_, bv, key_bias, gates)
+
+
+def fused_cross_attention_grouped(
+    params: dict,
+    hidden: Array,
+    encoder_hidden: Array,
+    *,
+    num_heads: int,
+    kv_groups: int,
+    mask: Optional[Array] = None,
+    key_bias: Optional[Array] = None,
+    head_z: Optional[Array] = None,
+):
+    """Fused cross-attention layer with grouped K/V: queries from hidden
+    [Bk*G, T, D] (groups contiguous), keys/values from encoder_hidden
+    [Bk, S, De] — every group of G query rows shares its image's K/V,
+    projected once in VMEM. mask/key_bias: per-IMAGE [Bk, S]. Equivalent to
+    multi_head_attention(..., kv_groups=G)[0] without dropout/probs.
+    Eval-path only (no custom_vjp: the rerank/decode callers don't
+    differentiate); training grouped cross-attention stays on XLA."""
+    b, t, d = hidden.shape
+    bk, s, de = encoder_hidden.shape
+    g = kv_groups
+    if b != bk * g:
+        raise ValueError(f"fused grouped cross: query batch {b} != {g} * kv batch {bk}")
+    if key_bias is not None:
+        kb2 = jnp.broadcast_to(key_bias.astype(jnp.float32), (bk, s))
+    elif mask is None:
+        kb2 = jnp.zeros((bk, s), jnp.float32)
+    else:
+        kb2 = (1.0 - mask.astype(jnp.float32)) * NEG
+    gates1 = (jnp.ones((num_heads,), jnp.float32) if head_z is None
+              else head_z.astype(jnp.float32).reshape(1, num_heads))
+    if gates1.ndim == 1:
+        gates1 = gates1.reshape(1, num_heads)
+
+    head_dim = params["q"]["kernel"].shape[1] // num_heads
+    row_tile = (16 if hidden.dtype == jnp.bfloat16 else 8) if d >= LANE else LANE
+    t_p = _round_up(max(t, 8), row_tile)
+    s_p = _round_up(max(s, 8), LANE)
+    x = jnp.pad(hidden, ((0, 0), (0, t_p - t), (0, 0))) if t_p != t else hidden
+    e = (jnp.pad(encoder_hidden, ((0, 0), (0, s_p - s), (0, 0)))
+         if s_p != s else encoder_hidden)
+    kb = jnp.pad(kb2, ((0, 0), (0, s_p - s)), constant_values=NEG)[:, None, :]
+
+    # group fold is a FREE reshape (contiguous leading-dim split) — no
+    # transposed copies, unlike folding a head-split [B,H,T,dh] layout
+    r_rows = g * t_p
+    xf = x.reshape(bk, r_rows, d)
+    block_rows = r_rows
+    for cand in (512, 384, 256, 128):
+        if r_rows % cand == 0:
+            block_rows = cand
+            break
+    interpret = jax.devices()[0].platform != "tpu"
+    dt = x.dtype
+    out = _fused_cross_grouped_padded(
+        xf, e.astype(dt),
+        params["q"]["kernel"].astype(dt), params["k"]["kernel"].astype(dt),
+        params["v"]["kernel"].astype(dt), params["out"]["kernel"].astype(dt),
+        params["q"]["bias"].reshape(1, -1), params["k"]["bias"].reshape(1, -1),
+        params["v"]["bias"].reshape(1, -1),
+        kb, gates1, num_heads=num_heads, head_dim=head_dim,
+        block_rows=block_rows, interpret=interpret,
+    )
+    out = out.reshape(b, t_p, d)
+    out = out[:, :t] if t_p != t else out
+    return out + params["out"]["bias"].astype(out.dtype)

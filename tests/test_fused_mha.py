@@ -349,3 +349,100 @@ def test_scan_fused_actually_instantiates_pallas():
         jx = str(jax.make_jaxpr(
             lambda p, im: V.vit_apply(p, im, cfg, impl=impl)["last_hidden"])(params, imgs))
         assert jx.count("pallas_call") == expect, (impl, jx.count("pallas_call"))
+
+
+def test_vit_region_mask_fused_equals_xla():
+    """GD region batches (per-region patch-level image_atts,
+    reference clip_vit.py:292-326) must FUSE: the region mask is a
+    key-vector mask [B,S] (the reference merely broadcast-expands it to
+    (bs,1,S,S)), which the kernel takes natively — previously any bias
+    forced the XLA fallback (VERDICT r4 #7). Geometry chosen so the
+    fused gate engages (width 128, S=226 lane-pad-efficient)."""
+    cfg = VisionConfig.create(
+        vision_width=128, num_attention_heads=2, intermediate_size=192,
+        num_hidden_layers=2, image_res=120, patch_size=8, local_attn_depth=1,
+    )
+    params = V.init_vit(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 120, 120, 3)) * 0.1
+    n_tok = (120 // 8) ** 2 + 1
+    idx = jnp.array([0, 0, 1])  # 3 regions over 2 images
+    # per-region patch masks: distinct irregular spans + CLS
+    atts = jnp.zeros((3, n_tok)).at[0, :60].set(1).at[1, 60:150].set(1).at[2, :100].set(1)
+    atts = atts.at[:, 0].set(1)
+
+    outs = {}
+    for impl in ("xla", "fused"):
+        o = V.vit_apply(params, imgs, cfg, idx_to_group_img=idx,
+                        image_atts=atts, impl=impl)
+        outs[impl] = (o["last_hidden"], o["full_atts_hidden"])
+    np.testing.assert_allclose(
+        np.asarray(outs["xla"][0]), np.asarray(outs["fused"][0]), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["xla"][1]), np.asarray(outs["fused"][1]), atol=5e-5)
+    # the fused program must actually contain the kernel at this geometry
+    jx = str(jax.make_jaxpr(lambda p, im: V.vit_apply(
+        p, im, cfg, idx_to_group_img=idx, image_atts=atts,
+        impl="fused")["last_hidden"])(params, imgs))
+    assert jx.count("pallas_call") >= 1
+
+
+def test_fused_cross_grouped_matches_xla():
+    """Grouped fused cross-attention LAYER kernel (per-image K/V projected
+    once into VMEM scratch, group-folded query row blocks) == the XLA
+    grouped einsum — the k_test rerank hot path (VERDICT r4 #4)."""
+    from efficientvlm_tpu.ops.pallas_fused_mha import fused_cross_attention_grouped
+
+    bk, g, h, t, s, d, de = 2, 16, 2, 24, 120, 128, 96
+    params = init_attention(jax.random.PRNGKey(0), d, h, kv_width=de)
+    q_in = jax.random.normal(jax.random.PRNGKey(1), (bk * g, t, d)) * 0.1
+    kv_in = jax.random.normal(jax.random.PRNGKey(2), (bk, s, de)) * 0.1
+    mask = jnp.ones((bk, s), jnp.int32).at[1, 100:].set(0)
+    hz = jnp.asarray([1.0, 0.5])
+
+    ref, _, _ = multi_head_attention(
+        params, q_in, kv_in, num_heads=h, bias=make_attention_bias(mask),
+        head_z=hz, kv_groups=g, impl="xla")
+    out = fused_cross_attention_grouped(
+        params, q_in, kv_in, num_heads=h, kv_groups=g, mask=mask, head_z=hz)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=3e-5)
+
+    # through bert_apply: the multi_modal fusion stack must dispatch the
+    # grouped layer kernel at eval and stay equal to the XLA path
+    cfg = TextConfig.create(
+        vocab_size=60, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=96, encoder_width=96,
+        max_position_embeddings=40, fusion_layer=0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    bparams = B.init_bert(jax.random.PRNGKey(3), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (bk * g, 24), 0, 60)
+    atts = jnp.ones((bk * g, 24), jnp.int32)
+    enc_atts = jnp.asarray(mask)
+    kw = dict(attention_mask=atts, encoder_hidden=kv_in,
+              encoder_attention_mask=enc_atts, mode="multi_modal",
+              encoder_groups=g)
+    a = B.bert_apply(bparams, ids, cfg, impl="xla", **kw)["last_hidden"]
+    b = B.bert_apply(bparams, ids, cfg, impl="fused", **kw)["last_hidden"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_fused_cross_grouped_dispatches_in_bert():
+    """Trace-only: bert_apply multi_modal at eval with encoder_groups>1 must
+    actually lower the grouped layer kernel (guards the dispatch gates)."""
+    cfg = TextConfig.create(
+        vocab_size=60, hidden_size=128, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=96, encoder_width=96,
+        max_position_embeddings=40, fusion_layer=0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    bparams = B.init_bert(jax.random.PRNGKey(0), cfg)
+    bk, g, t, s = 2, 16, 24, 120
+    ids = jnp.zeros((bk * g, t), jnp.int32)
+    atts = jnp.ones((bk * g, t), jnp.int32)
+    enc = jnp.zeros((bk, s, 96))
+    enc_atts = jnp.ones((bk, s), jnp.int32)
+    jx = str(jax.make_jaxpr(lambda p, e: B.bert_apply(
+        p, ids, cfg, attention_mask=atts, encoder_hidden=e,
+        encoder_attention_mask=enc_atts, mode="multi_modal",
+        encoder_groups=g, impl="fused")["last_hidden"])(bparams, enc))
+    assert "pallas_call" in jx

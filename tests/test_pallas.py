@@ -37,3 +37,48 @@ def test_mha_impl_dispatch_equivalence():
     out_x, _, _ = multi_head_attention(params, x, num_heads=h, bias=bias, head_z=head_z, impl="xla")
     out_p, _, _ = multi_head_attention(params, x, num_heads=h, bias=bias, head_z=head_z, impl="pallas")
     np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p), atol=2e-5)
+
+
+def test_flash_attention_grouped_matches_einsum():
+    """Grouped-K/V flash kernel == grouped XLA einsum (the k_test rerank /
+    fusion-stack hot path, VERDICT r4 #4). Also checks the kernel actually
+    engages at a lane-pad-efficient key length, per-kv-row bias, tq>=16."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficientvlm_tpu.ops.attention import (
+        init_attention, make_attention_bias, multi_head_attention)
+
+    bk, g, h, tq, s, d = 2, 16, 2, 24, 120, 128
+    params = init_attention(jax.random.PRNGKey(0), d, h, kv_width=96)
+    q_in = jax.random.normal(jax.random.PRNGKey(1), (bk * g, tq, d)) * 0.1
+    kv_in = jax.random.normal(jax.random.PRNGKey(2), (bk, s, 96)) * 0.1
+    mask = jnp.ones((bk, s), jnp.int32).at[1, 100:].set(0)
+    bias = make_attention_bias(mask)
+    hz = jnp.asarray([1.0, 0.5])
+
+    outs = {}
+    for impl in ("xla", "fused"):
+        out, _, _ = multi_head_attention(
+            params, q_in, kv_in, num_heads=h, bias=bias, head_z=hz,
+            kv_groups=g, impl=impl)
+        outs[impl] = np.asarray(out)
+    np.testing.assert_allclose(outs["xla"], outs["fused"], atol=3e-5)
+
+    # per-QUERY-row bias (a beam-expanded mask) must fall back to the XLA
+    # einsum (the kernel only takes per-group vectors) and stay correct
+    bias_q = make_attention_bias(jnp.repeat(mask, g, axis=0))
+    a, _, _ = multi_head_attention(params, q_in, kv_in, num_heads=h,
+                                   bias=bias_q, head_z=hz, kv_groups=g,
+                                   impl="fused")
+    np.testing.assert_allclose(np.asarray(a), outs["xla"], atol=3e-5)
+    jx_q = str(jax.make_jaxpr(lambda p, q, kv: multi_head_attention(
+        p, q, kv, num_heads=h, bias=bias_q, kv_groups=g, impl="fused")[0]
+    )(params, q_in, kv_in))
+    assert "pallas_call" not in jx_q
+
+    jx = str(jax.make_jaxpr(lambda p, q, kv: multi_head_attention(
+        p, q, kv, num_heads=h, bias=bias, kv_groups=g, impl="fused")[0]
+    )(params, q_in, kv_in))
+    assert "pallas_call" in jx
