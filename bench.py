@@ -577,6 +577,10 @@ PHASE_PLAN = [
     ("pruned_caption", 1800),
     ("caption_teacher", 1800),
     ("serving", 1800),
+    # saturation point: 16 closed-loop clients fill the coalescing window
+    # toward max_batch (8 clients cap the mean batch at ~arrivals/2 — the
+    # r4 "mean batch 2.67 of 16" was client-limited, not batcher-limited)
+    ("serving_16", 1800),
 ]
 
 
@@ -597,6 +601,7 @@ def _summary(r, completed, failed, skipped, elapsed_s):
     pruned_vqa, vqa_teacher = g("pruned_vqa"), g("vqa_teacher")
     pruned_caption, caption_teacher = g("pruned_caption"), g("caption_teacher")
     serving = r.get("serving")
+    serving16 = r.get("serving_16")
     kd = r.get("kd_step") or {}
     return {
         "metric": "pruned_retrieval_pairs_per_sec_per_chip",
@@ -652,6 +657,10 @@ def _summary(r, completed, failed, skipped, elapsed_s):
         "serving_stages": ({k: serving.get(k) for k in (
             "queue_wait_p95_ms", "dispatch_mean_ms", "finish_mean_ms",
             "preprocess_mean_ms", "buckets")} if serving else None),
+        "serving_16c_req_per_sec": serving16.get("tput") if serving16 else None,
+        "serving_16c_mean_batch_size": serving16.get("mean_batch_size") if serving16 else None,
+        "serving_16c_p95_ms": serving16.get("p95_ms") if serving16 else None,
+        "serving_16c_device_busy_frac": serving16.get("device_busy_frac") if serving16 else None,
         "completed_phases": list(completed),
         "failed_phases": list(failed),
         "skipped_phases": list(skipped),
@@ -670,7 +679,8 @@ def main():
          "pruned_vqa": phase_pruned_vqa,
          "caption_teacher": phase_caption_teacher,
          "pruned_caption": phase_pruned_caption,
-         "serving": phase_serving}[phase]()
+         "serving": phase_serving,
+         "serving_16": lambda: phase_serving(clients=16)}[phase]()
         return
 
     if not _wait_for_tunnel():

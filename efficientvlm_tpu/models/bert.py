@@ -261,7 +261,10 @@ def bert_layer_apply(
         if use_fused_xg:
             from ..ops.pallas_fused_mha import fused_cross_attention_grouped
 
-            x_out = fused_cross_attention_grouped(
+            # the kernel's epilogue applies this layer's residual +
+            # post-LayerNorm too (h = LN(h + x_out)), so the shared LN
+            # line below is SKIPPED for this branch
+            h = fused_cross_attention_grouped(
                 lp["crossattention"], h.astype(dtype) if dtype is not None else h,
                 encoder_hidden,
                 num_heads=_num_heads(lp["crossattention"], head_dim),
@@ -271,6 +274,7 @@ def bert_layer_apply(
                     (encoder_hidden.shape[0], encoder_hidden.shape[1]))
                     if encoder_bias is not None else None),
                 head_z=cross_head_z,
+                ln_params=lp["crossattention_ln"], ln_eps=eps,
             )
         elif use_fused_x:
             from ..ops.pallas_fused_mha import fused_cross_attention
@@ -308,7 +312,8 @@ def bert_layer_apply(
                     "xla" if impl == "fused" else impl),
             )
             x_out = dropout(x_out, hdrop, rng=rngs[3], train=train)
-        h = layer_norm(lp["crossattention_ln"], h + x_out, eps=eps)
+        if not use_fused_xg:  # grouped layer kernel already applied the LN
+            h = layer_norm(lp["crossattention_ln"], h + x_out, eps=eps)
 
     if lp.get("intermediate") is not None:  # fully-pruned FFN -> identity
         inter = act(dense(lp["intermediate"], h, dtype=dtype))

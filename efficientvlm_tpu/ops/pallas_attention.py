@@ -114,8 +114,9 @@ def _flash_attention_padded(q, k, v, bias, *, vector_bias: bool, interpret: bool
     )(q, k, v, bias)
 
 
-@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
-def _flash_attention_grouped_padded(q, k, v, bias, *, block_r: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret", "useful_flops"))
+def _flash_attention_grouped_padded(q, k, v, bias, *, block_r: int, interpret: bool,
+                                    useful_flops: int):
     """Grouped-K/V flash attention over GROUP-FOLDED queries:
     q [Bk, H, R, dh] where R = G*Tq_p — every query row of a group shares
     that group's K/V, so the fold turns G tiny [Tq, Tk] attentions into
@@ -141,7 +142,6 @@ def _flash_attention_grouped_padded(q, k, v, bias, *, block_r: int, interpret: b
         pl.BlockSpec((1, 1, tk), lambda bi, hi, ri: (bi, 0, 0)),
     ]
 
-    flops = 4 * bk * h * r * tk * dh
     bytes_acc = (2 * q.size + (k.size + v.size)) * q.dtype.itemsize
     return pl.pallas_call(
         _kernel_vec,
@@ -153,7 +153,10 @@ def _flash_attention_grouped_padded(q, k, v, bias, *, block_r: int, interpret: b
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_acc, transcendentals=bk * h * r * tk
+            # UNPADDED model flops (caller-computed): the padded count would
+            # inflate downstream cost-analysis MFU vs the XLA einsum path
+            flops=useful_flops, bytes_accessed=bytes_acc,
+            transcendentals=bk * h * r * tk
         ),
         interpret=interpret,
     )(q, k, v, bias)
@@ -207,7 +210,8 @@ def flash_attention_grouped(
     vb = jnp.pad(vb, ((0, 0), (0, pad_k)), constant_values=NEG)
 
     out = _flash_attention_grouped_padded(
-        qf, k, v, vb[:, None, :], block_r=block_r, interpret=interpret)
+        qf, k, v, vb[:, None, :], block_r=block_r, interpret=interpret,
+        useful_flops=4 * bq * h * tq * tk * dh)
     if pad_r:
         out = out[:, :, :r_rows]
     out = out.reshape(bk, h, g, tq_p, dh).transpose(0, 2, 1, 3, 4).reshape(bq, h, tq_p, dh)

@@ -532,7 +532,8 @@ def fused_self_attention(
 # ---------------------------------------------------------------------------
 
 
-def _fused_cross_grouped_kernel(num_heads: int, head_dim: int, scale: float):
+def _fused_cross_grouped_kernel(num_heads: int, head_dim: int, scale: float,
+                                ln_eps=None):
     """Grouped variant of _fused_cross_kernel: G contiguous query rows share
     one encoder row. Grid (Bk, row_blocks) over GROUP-FOLDED queries
     [Bk, G*T_p, D]; each image's K/V are projected ONCE into VMEM scratch
@@ -548,7 +549,8 @@ def _fused_cross_grouped_kernel(num_heads: int, head_dim: int, scale: float):
     num_groups = num_heads // heads_per_group
 
     def kernel(h_ref, e_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
-               bv_ref, bias_ref, gate_ref, o_ref, k_scr, v_scr, acc_ref):
+               bv_ref, bias_ref, gate_ref, ob_ref, gamma_ref, beta_ref,
+               o_ref, k_scr, v_scr, acc_ref):
         ri = pl.program_id(1)
 
         @pl.when(ri == 0)
@@ -599,16 +601,31 @@ def _fused_cross_grouped_kernel(num_heads: int, head_dim: int, scale: float):
                 ctx_g.astype(hidden.dtype), wog, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        o_ref[0] = acc_ref[:, :].astype(o_ref.dtype)
+        out = acc_ref[:, :] + ob_ref[0, :].astype(jnp.float32)
+        if ln_eps is not None:
+            # residual + post-LN epilogue (ops/basic.layer_norm semantics:
+            # f32 mean/var over D, scale+shift, cast back) — saves the
+            # separate [Bq*T, D] residual/convert/reduce round-trip XLA
+            # would run between this layer's attention and its LayerNorm
+            y = hidden.astype(jnp.float32) + out
+            mean = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+            out = ((y - mean) * jax.lax.rsqrt(var + ln_eps)
+                   * gamma_ref[0, :].astype(jnp.float32)
+                   + beta_ref[0, :].astype(jnp.float32))
+        o_ref[0] = out.astype(o_ref.dtype)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "head_dim",
-                                             "block_rows", "interpret"))
+                                             "block_rows", "interpret",
+                                             "useful_flops", "ln_eps"))
 def _fused_cross_grouped_padded(hidden, enc, wq, wk, wv, wo, bq, bk_, bv,
-                                key_bias, gates, *, num_heads: int,
-                                head_dim: int, block_rows: int, interpret: bool):
+                                key_bias, gates, ob, gamma, beta, *,
+                                num_heads: int,
+                                head_dim: int, block_rows: int, interpret: bool,
+                                useful_flops: int, ln_eps):
     """hidden: [Bk, R, D] group-folded padded queries (R % block_rows == 0);
     enc: [Bk, S_p, De]; key_bias: [Bk, 1, S_p]."""
     bk, r, d = hidden.shape
@@ -616,7 +633,7 @@ def _fused_cross_grouped_padded(hidden, enc, wq, wk, wv, wo, bq, bk_, bv,
     a = wq.shape[1]
     assert a == num_heads * head_dim, (a, num_heads, head_dim)
     scale = head_dim ** -0.5
-    kernel = _fused_cross_grouped_kernel(num_heads, head_dim, scale)
+    kernel = _fused_cross_grouped_kernel(num_heads, head_dim, scale, ln_eps)
     return pl.pallas_call(
         kernel,
         grid=(bk, r // block_rows),
@@ -632,6 +649,9 @@ def _fused_cross_grouped_padded(hidden, enc, wq, wk, wv, wo, bq, bk_, bv,
             pl.BlockSpec((1, a), lambda bi, ri: (0, 0)),
             pl.BlockSpec((1, 1, s), lambda bi, ri: (bi, 0, 0)),
             pl.BlockSpec((1, num_heads), lambda bi, ri: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, d), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((1, d), lambda bi, ri: (0, 0)),
+            pl.BlockSpec((1, d), lambda bi, ri: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_rows, d), lambda bi, ri: (bi, ri, 0)),
         out_shape=jax.ShapeDtypeStruct(hidden.shape, hidden.dtype),
@@ -646,13 +666,14 @@ def _fused_cross_grouped_padded(hidden, enc, wq, wk, wv, wo, bq, bk_, bv,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bk * r * d * a * 2 + 4 * bk * s * de * a
-            + 4 * bk * r * s * head_dim * num_heads,
+            # UNPADDED model flops (caller-computed): padded counts would
+            # inflate downstream cost-analysis MFU vs the XLA einsum path
+            flops=useful_flops,
             bytes_accessed=(2 * hidden.size + enc.size + 4 * d * a) * hidden.dtype.itemsize,
             transcendentals=bk * num_heads * r * s,
         ),
         interpret=interpret,
-    )(hidden, enc, wq, wk, wv, wo, bq, bk_, bv, key_bias, gates)
+    )(hidden, enc, wq, wk, wv, wo, bq, bk_, bv, key_bias, gates, ob, gamma, beta)
 
 
 def fused_cross_attention_grouped(
@@ -665,14 +686,20 @@ def fused_cross_attention_grouped(
     mask: Optional[Array] = None,
     key_bias: Optional[Array] = None,
     head_z: Optional[Array] = None,
+    ln_params: Optional[dict] = None,
+    ln_eps: float = 1e-12,
 ):
     """Fused cross-attention layer with grouped K/V: queries from hidden
     [Bk*G, T, D] (groups contiguous), keys/values from encoder_hidden
     [Bk, S, De] — every group of G query rows shares its image's K/V,
     projected once in VMEM. mask/key_bias: per-IMAGE [Bk, S]. Equivalent to
     multi_head_attention(..., kv_groups=G)[0] without dropout/probs.
-    Eval-path only (no custom_vjp: the rerank/decode callers don't
-    differentiate); training grouped cross-attention stays on XLA."""
+    With ln_params {'scale','bias'} the kernel also applies the bert
+    layer's residual + post-LayerNorm epilogue (returns
+    layer_norm(hidden + attn_out)) — one fewer full-activation HBM
+    round-trip per fusion layer. Eval-path only (no custom_vjp: the
+    rerank/decode callers don't differentiate); training grouped
+    cross-attention stays on XLA."""
     b, t, d = hidden.shape
     bk, s, de = encoder_hidden.shape
     g = kv_groups
@@ -709,15 +736,30 @@ def fused_cross_attention_grouped(
             break
     interpret = jax.devices()[0].platform != "tpu"
     dt = x.dtype
+    a_w = params["q"]["kernel"].shape[1]
+    useful_flops = (
+        2 * b * t * d * a_w * 2          # q + out projections, real rows
+        + 4 * bk * s * de * a_w          # K/V projections, once per image
+        + 4 * b * t * s * a_w            # QK^T + PV over real q rows/keys
+    )
+    if ln_params is not None:
+        gamma = ln_params["scale"].reshape(1, -1)
+        beta = ln_params["bias"].reshape(1, -1)
+        eps_arg = float(ln_eps)
+    else:
+        gamma = jnp.ones((1, d), jnp.float32)
+        beta = jnp.zeros((1, d), jnp.float32)
+        eps_arg = None
     out = _fused_cross_grouped_padded(
         xf, e.astype(dt),
         params["q"]["kernel"].astype(dt), params["k"]["kernel"].astype(dt),
         params["v"]["kernel"].astype(dt), params["out"]["kernel"].astype(dt),
         params["q"]["bias"].reshape(1, -1), params["k"]["bias"].reshape(1, -1),
         params["v"]["bias"].reshape(1, -1),
-        kb, gates1, num_heads=num_heads, head_dim=head_dim,
-        block_rows=block_rows, interpret=interpret,
+        kb, gates1, params["out"]["bias"].reshape(1, -1), gamma, beta,
+        num_heads=num_heads, head_dim=head_dim,
+        block_rows=block_rows, interpret=interpret, useful_flops=useful_flops,
+        ln_eps=eps_arg,
     )
     out = out.reshape(b, t_p, d)
-    out = out[:, :t] if t_p != t else out
-    return out + params["out"]["bias"].astype(out.dtype)
+    return out[:, :t] if t_p != t else out
