@@ -698,11 +698,13 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 3300))
     t_start = time.monotonic()
     results, completed, failed, skipped = {}, [], [], []
-    for name, phase_timeout in PHASE_PLAN:
+
+    def _attempt(name, phase_timeout):
         remaining = budget_s - (time.monotonic() - t_start)
         if remaining < 120:
-            skipped.append(name)
-            continue
+            if name not in skipped:
+                skipped.append(name)
+            return
         try:
             if name == "kd_step":
                 results[name] = _run_kd()
@@ -710,13 +712,26 @@ def main():
                 results[name] = _run_phase(
                     name, timeout=min(phase_timeout, remaining))
             completed.append(name)
+            if name in failed:
+                failed.remove(name)
         except Exception as e:  # noqa: BLE001 — a lost phase must not lose the run
             print(f"### phase {name} failed: {e!r}"[:800], file=sys.stderr)
-            failed.append(name)
+            if name not in failed:
+                failed.append(name)
         # cumulative line after EVERY phase, flushed: whatever the driver's
         # timeout, the tail always parses with all progress so far
         print(json.dumps(_summary(results, completed, failed, skipped,
                                   time.monotonic() - t_start)), flush=True)
+
+    for name, phase_timeout in PHASE_PLAN:
+        _attempt(name, phase_timeout)
+    # one retry pass for failed phases while budget remains: the tunnel
+    # wedges TRANSIENTLY (RPC-hang mode, CLAUDE.md) — a teacher phase lost
+    # to a mid-run wedge would otherwise null the headline ratio even
+    # though the tunnel recovered before the run ended
+    retry = [(n, t) for (n, t) in PHASE_PLAN if n in failed]
+    for name, phase_timeout in retry:
+        _attempt(name, phase_timeout)
     if skipped:
         print(f"### budget {budget_s}s exhausted; skipped: {skipped}",
               file=sys.stderr)
