@@ -523,9 +523,13 @@ def _run_phase(phase: str, timeout=1200):
 
 
 def _tunnel_alive() -> bool:
-    from efficientvlm_tpu.utils.tunnel import relay_alive
+    # end-to-end: the relay can ACCEPT connections while every RPC hangs
+    # (r5 wedge mode) — a TCP probe passes, then every phase burns its full
+    # subprocess timeout. tunnel_responsive() runs a real device op in a
+    # killable subprocess instead.
+    from efficientvlm_tpu.utils.tunnel import tunnel_responsive
 
-    return relay_alive()
+    return tunnel_responsive()
 
 
 def _wait_for_tunnel(max_wait_s=1800) -> bool:
@@ -705,6 +709,19 @@ def main():
             if name not in skipped:
                 skipped.append(name)
             return
+        # after a failure, re-probe end-to-end before dispatching the next
+        # phase: a transiently wedged tunnel (RPC-hang mode) would otherwise
+        # eat every subsequent phase's full subprocess timeout. Wait it out
+        # (it recovers on its own, CLAUDE.md) while budget remains.
+        while failed and not _tunnel_alive():
+            remaining = budget_s - (time.monotonic() - t_start)
+            if remaining < 300:
+                if name not in skipped:
+                    skipped.append(name)
+                return
+            print(f"### tunnel unresponsive before {name}; waiting 60s "
+                  f"({int(remaining)}s budget left)", file=sys.stderr)
+            time.sleep(60)
         try:
             if name == "kd_step":
                 results[name] = _run_kd()

@@ -30,10 +30,10 @@ import jax
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
     jax.config.update("jax_platforms", "cpu")
 else:
-    from efficientvlm_tpu.utils.tunnel import relay_alive
+    from efficientvlm_tpu.utils.tunnel import tunnel_responsive
 
-    if not relay_alive():
-        print("### TPU tunnel unreachable; falling back to CPU")
+    if not tunnel_responsive():
+        print("### TPU tunnel unreachable/unresponsive; falling back to CPU")
         jax.config.update("jax_platforms", "cpu")
 
 from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache

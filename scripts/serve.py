@@ -24,11 +24,11 @@ import jax
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
     jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon,cpu
 else:
-    from efficientvlm_tpu.utils.tunnel import relay_alive
+    from efficientvlm_tpu.utils.tunnel import tunnel_responsive
 
-    if not relay_alive():
+    if not tunnel_responsive():
         raise SystemExit(
-            "TPU tunnel (127.0.0.1:8083) is unreachable; jax.devices() would "
+            "TPU tunnel (127.0.0.1:8083) is unreachable or wedged (port may accept while RPCs hang); jax.devices() would "
             "hang. Re-run with JAX_PLATFORMS=cpu or restore the relay.")
 
 from efficientvlm_tpu.utils.compile_cache import enable_persistent_cache

@@ -47,9 +47,12 @@ def repo_root():
 # the kernel tests run in LOCAL interpret mode (numerics still verified;
 # the Mosaic lowering itself gets exercised whenever the relay is up).
 if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
-    from efficientvlm_tpu.utils.tunnel import relay_alive
+    # end-to-end probe, not just TCP: in the r5 wedge mode the relay
+    # ACCEPTS connections while every RPC hangs, so a relay_alive() check
+    # passes and the first Mosaic compile then hangs pytest forever.
+    from efficientvlm_tpu.utils.tunnel import tunnel_responsive
 
-    if not relay_alive():
+    if not tunnel_responsive():
         del os.environ["PALLAS_AXON_REMOTE_COMPILE"]
-        print("### axon relay unreachable: Pallas tests run in local "
-              "interpret mode (no Mosaic lowering this run)")
+        print("### axon relay unreachable/unresponsive: Pallas tests run in "
+              "local interpret mode (no Mosaic lowering this run)")
