@@ -692,7 +692,8 @@ def main():
         print(json.dumps({
             "metric": "pruned_retrieval_pairs_per_sec_per_chip",
             "value": None, "unit": "pairs/s", "vs_baseline": None,
-            "error": "TPU tunnel (127.0.0.1:8083) unreachable for 30 min",
+            "error": "TPU tunnel (127.0.0.1:8083) unreachable or wedged "
+                     "(RPC-hang) for 30 min of end-to-end probes",
         }), flush=True)
         return
 
